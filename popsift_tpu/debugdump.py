@@ -1,0 +1,88 @@
+"""--log debug dump tree.
+
+Reproduces the reference's golden-state dump layout
+(Octave::download_and_save_array, sift_octave.cu:111-188, and
+Pyramid::save_descriptors, sift_pyramid.cu:88-106): every pyramid level and
+DoG level as PGM + raw float dumps under dir-octave/* and descriptors under
+dir-desc/ + dir-fpt/ — the fidelity harness of testOxfordDataset.sh.in.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import Config
+from .extract import get_extractor, normalize_input
+from .io.pgm import write_pgm
+
+
+def _ensure(p: str) -> None:
+    os.makedirs(p, exist_ok=True)
+
+
+def dump_all(config: Config, job, basename: str, base_dir: str = ".") -> None:
+    """Dump pyramid/DoG images and descriptor text files for one job."""
+    fn, plan = get_extractor(config, job._w, job._h, return_pyramid=True)
+    result = fn(normalize_input(job._image_data))
+
+    pyr_dir = os.path.join(base_dir, "dir-pyramid")
+    dog_dir = os.path.join(base_dir, "dir-dog")
+    _ensure(pyr_dir)
+    _ensure(dog_dir)
+
+    for o, stack in enumerate(result["pyramid"]):
+        arr = np.asarray(stack)
+        for lvl in range(arr.shape[0]):
+            name = f"{basename}-o-{o}-l-{lvl}"
+            write_pgm(os.path.join(pyr_dir, name + ".pgm"),
+                      np.clip(arr[lvl], 0, 255).astype(np.uint8))
+            arr[lvl].astype(np.float32).tofile(
+                os.path.join(pyr_dir, name + ".dat"))
+    for o, dog in enumerate(result["dog"]):
+        arr = np.asarray(dog)
+        for lvl in range(arr.shape[0]):
+            name = f"d-{basename}-o-{o}-l-{lvl}"
+            lo, hi = float(arr[lvl].min()), float(arr[lvl].max())
+            scale = 255.0 / (hi - lo) if hi > lo else 1.0
+            write_pgm(os.path.join(dog_dir, name + ".pgm"),
+                      ((arr[lvl] - lo) * scale).astype(np.uint8))
+            arr[lvl].astype(np.float32).tofile(
+                os.path.join(dog_dir, name + ".dat"))
+
+    # descriptor text dumps (save_descriptors writes both orientations-
+    # and shape-matrix-style headers, sift_pyramid.cu:401-444)
+    from .features import assemble_features
+    feats = assemble_features(result, config.get_upscale_factor())
+    up = config.get_upscale_factor()
+
+    desc_dir = os.path.join(base_dir, "dir-desc")
+    fpt_dir = os.path.join(base_dir, "dir-fpt")
+    _ensure(desc_dir)
+    _ensure(fpt_dir)
+
+    def write(path: str, with_orientation: bool) -> None:
+        import math
+        with open(path, "w") as of:
+            for f in feats:
+                # writeDescriptor scales the (already prep_features-scaled)
+                # coordinates again by 2^(octave-up) — reproduced faithfully
+                # (sift_pyramid.cu:407-412)
+                s = 2.0 ** (f.debug_octave - up)
+                x, y, sg = f.xpos * s, f.ypos * s, f.sigma * s
+                for k in range(f.num_ori):
+                    d = f._descriptors[int(f.desc_idx[k])]
+                    if with_orientation:
+                        dom = f.orientation[k] / (2.0 * math.pi) * 360.0
+                        if dom < 0:
+                            dom += 360.0
+                        of.write(f"{x:.5g} {y:.5g} {sg:.5g} {dom:.5g} ")
+                    else:
+                        sv = 1.0 / (sg * sg)
+                        of.write(f"{x:.5g} {y:.5g} {sv:.5g} 0 {sv:.5g} ")
+                    of.write(" ".join(f"{float(v):.5g}" for v in d))
+                    of.write(" \n")
+
+    write(os.path.join(desc_dir, f"desc-{basename}.txt"), True)
+    write(os.path.join(fpt_dir, f"desc-{basename}.txt"), False)

@@ -1,0 +1,286 @@
+"""SIFT descriptor extraction, TPU-native.
+
+The reference ships five CUDA descriptor kernels
+(/root/reference/src/popsift/s_desc_{loop,iloop,grid,igrid,notile}.cu).
+They fall into two numerical families:
+
+* **loop family** (loop, iloop): scan the axis-aligned bounding box of the
+  rotated descriptor window, gradient at integer pixels, trilinear
+  (2 spatial x 1 angular) binning (s_desc_loop.cu:18-139).
+  TPU form: one fixed-size window per (keypoint, orientation), dense
+  rotated-coordinate arithmetic, and the 4x4x8 binning expressed as two
+  small matrix contractions (MXU-friendly).
+
+* **grid family** (grid, igrid, notile): sample a fixed rotated 40x40 grid,
+  precomputed Gaussian window + triangle tile weights
+  (s_desc_notile.cu:31-129, sift_constants.cu:34-47), rotated-derivative
+  gradient at fractional positions.  TPU form: 1600 bilinear samples per
+  descriptor + static (40,4) tile-weight matrices.
+
+The per-mode sampling differences:
+  - loop/iloop -> loop family (iloop's texture-interpolated gradient is a
+    hardware trick, not a numerics change at integer pixels),
+  - notile/igrid -> grid family with bilinear sampling,
+  - grid -> grid family with samples rounded to pixel centres
+    (s_desc_grid.cu:60-103).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DESC_MAGNIFY, M_PI2, M_4RPI
+from .orientation import max_sigma
+
+
+def desc_window_size(sigma0: float, levels: int) -> int:
+    """Static loop-family window: covers |d|_inf < 2.5*sqrt(2)*SBP_max."""
+    sbp_max = DESC_MAGNIFY * max_sigma(sigma0, levels)
+    win = int(math.ceil(2.0 * 2.5 * math.sqrt(2.0) * sbp_max)) + 4
+    return (win + 7) // 8 * 8
+
+
+def _tile_offsets() -> np.ndarray:
+    # tile centres at ix - 1.5 for ix in 0..3 (s_desc_loop.cu:57-58)
+    return np.arange(4, dtype=np.float32) - 1.5
+
+
+def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
+                     xpos, ypos, lpos, sigma, ang, valid,
+                     w: int, h: int, win: int,
+                     chunk: int = 64) -> jnp.ndarray:
+    """Loop-mode descriptors for a batch of (keypoint, orientation) slots.
+
+    mag/theta : (L, H, W) gradient fields of the octave.
+    Returns (cap, 128) unnormalised descriptors in [ty, tx, bin] order
+    (matching the reference's ``tile = ((iy*4+ix)*8)`` layout,
+    s_desc_loop.cu:29).
+    """
+    pad = win
+    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
+    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
+    L = mag.shape[0]
+    offs = jnp.asarray(_tile_offsets())
+
+    def one_slot(x, y, l, sig, a, vld):
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+
+        mw = jax.lax.dynamic_slice(magp, (lp, y0 + pad, x0 + pad),
+                                   (1, win, win))[0]
+        tw = jax.lax.dynamic_slice(thetap, (lp, y0 + pad, x0 + pad),
+                                   (1, win, win))[0]
+
+        jj = x0 + jnp.arange(win, dtype=jnp.int32)
+        ii = y0 + jnp.arange(win, dtype=jnp.int32)
+        dxf = jj.astype(jnp.float32)[None, :] - x       # (win, win) via bc
+        dyf = ii.astype(jnp.float32)[:, None] - y
+
+        # rotated coordinates in SBP units (s_desc_loop.cu:87-90)
+        ux = (cos_t * dxf + sin_t * dyf) / safe_sbp
+        uy = (cos_t * dyf - sin_t * dxf) / safe_sbp
+
+        ww = jnp.exp(-(ux * ux + uy * uy) / 8.0)
+
+        in_img = ((jj >= 1) & (jj <= w - 2))[None, :] \
+            & ((ii >= 1) & (ii <= h - 2))[:, None]
+        wgt = jnp.where(in_img & ok, mw * ww, 0.0)
+
+        th = tw - a
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+        th = jnp.where(th >= M_PI2, th - M_PI2, th)
+        tth = th * M_4RPI
+        fo0 = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo0.astype(jnp.float32)
+        fo0 = jnp.clip(fo0, 0, 7)
+        fo1 = (fo0 + 1) % 8
+
+        # angular bilinear (cap of 8 bins, dpt[8] folded into dpt[0],
+        # s_desc_loop.cu:114-124)
+        bins = jnp.arange(8, dtype=jnp.int32)
+        a_oh = ((fo0[..., None] == bins) * (1.0 - do0)[..., None]
+                + (fo1[..., None] == bins) * do0[..., None])
+        A = (wgt[..., None] * a_oh).reshape(win * win, 8)
+
+        # spatial triangle weights per tile, strict |n| < 1 via max(0, .)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[..., None] - offs))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[..., None] - offs))
+        wx = wx.reshape(win * win, 4)
+        wy = wy.reshape(win * win, 4)
+
+        # (p,4)x(p,8) -> (p,32); (p,4)^T @ (p,32) -> (4,32) = 4x4x8
+        E = (wx[:, :, None] * A[:, None, :]).reshape(win * win, 32)
+        D = jnp.einsum("pt,pq->tq", wy, E,
+                       preferred_element_type=jnp.float32)
+        return D.reshape(128)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+# ---------------------------------------------------------------------------
+# grid family (notile / igrid / grid)
+# ---------------------------------------------------------------------------
+
+def _grid_steps() -> np.ndarray:
+    """40 sample offsets: stepbase + k/8, stepbase = -2.5 + 1/16
+    (s_desc_notile.cu:29,57-58)."""
+    return (-2.5 + 1.0 / 16.0
+            + np.arange(40, dtype=np.float32) / 8.0)
+
+
+def _tile_weight_matrix(desc_tile: np.ndarray) -> np.ndarray:
+    """Static (40, 4) matrix: TX[k, t] = desc_tile[k - 8t] when
+    0 <= k - 8t < 16 (s_desc_notile.cu:55)."""
+    TX = np.zeros((40, 4), dtype=np.float32)
+    for t in range(4):
+        for k in range(16):
+            TX[8 * t + k, t] = desc_tile[k]
+    return TX
+
+
+def _bilinear(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Bilinear sample with clamp addressing (the CUDA linear texture;
+    readTex's +0.5 offset cancels the texel-centre convention so continuous
+    coordinates are in pixel space, common/assist.h:68-83)."""
+    h, w = img.shape
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    fx = px - x0f
+    fy = py - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def grid_descriptors(stack: jnp.ndarray,
+                     xpos, ypos, lpos, sigma, ang, valid,
+                     desc_gauss: np.ndarray, desc_tile: np.ndarray,
+                     rounded: bool = False,
+                     chunk: int = 64) -> jnp.ndarray:
+    """NoTile/IGrid-mode descriptors (rounded=True gives Grid mode's
+    pixel-centre rounding, s_desc_grid.cu:60-103).
+
+    stack : (L, H, W) blurred levels of the octave.
+    Returns (cap, 128).
+    """
+    L, h, w = stack.shape
+    steps = jnp.asarray(_grid_steps())
+    TX = jnp.asarray(_tile_weight_matrix(np.asarray(desc_tile)))
+    G = jnp.asarray(desc_gauss)  # (40, 40) [y][x]
+
+    def one_slot(x, y, l, sig, a, vld):
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        lp = jnp.clip(l, 0, L - 1)
+        img = jax.lax.dynamic_index_in_dim(stack, lp, axis=0,
+                                           keepdims=False)
+
+        sx = steps[None, :]  # newx axis
+        sy = steps[:, None]  # newy axis
+        ptx = cos_t * sx - sin_t * sy        # (40,40)
+        pty = cos_t * sy + sin_t * sx
+        px = x + ptx * sbp
+        py = y + pty * sbp
+        if rounded:
+            px = jnp.round(px)
+            py = jnp.round(py)
+
+        # rotated-derivative gradient (s_gradiant.h:71-87)
+        dx = _bilinear(img, px + cos_t, py + sin_t) \
+            - _bilinear(img, px - cos_t, py - sin_t)
+        dy = _bilinear(img, px - sin_t, py + cos_t) \
+            - _bilinear(img, px + sin_t, py - cos_t)
+        mod = jnp.hypot(dx, dy)
+        th = jnp.arctan2(dy, dx)
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+
+        tth = th * M_4RPI
+        fo = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo.astype(jnp.float32)
+        fo0 = fo & 7
+        fo1 = (fo0 + 1) & 7
+
+        ww = jnp.where(ok, G * mod, 0.0)
+        bins = jnp.arange(8, dtype=jnp.int32)
+        A = ((fo0[..., None] == bins) * ((1.0 - do0) * ww)[..., None]
+             + (fo1[..., None] == bins) * (do0 * ww)[..., None])
+        # A: (40y, 40x, 8) ; contract x then y with the static tile matrix
+        B = jnp.einsum("yxb,xt->ytb", A, TX,
+                       preferred_element_type=jnp.float32)   # (40,4,8)
+        D = jnp.einsum("ytb,ys->stb", B, TX,
+                       preferred_element_type=jnp.float32)   # (4ty,4tx,8)
+        return D.reshape(128)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+# ---------------------------------------------------------------------------
+# normalisation
+# ---------------------------------------------------------------------------
+
+def normalize_rootsift(desc: jnp.ndarray, norm_multi: int,
+                       valid: jnp.ndarray) -> jnp.ndarray:
+    """RootSift: L1-normalise then sqrt, scaled by 2^norm_multi
+    (s_desc_norm_rs.h:42-77; descriptor entries are non-negative so the sum
+    is the L1 norm)."""
+    s = jnp.sum(desc, axis=-1, keepdims=True)
+    safe = jnp.where(s > 0.0, s, 1.0)
+    out = jnp.sqrt(desc / safe) * (2.0 ** norm_multi)
+    return jnp.where(valid[:, None] & (s > 0.0), out, 0.0)
+
+
+def normalize_l2(desc: jnp.ndarray, norm_multi: int,
+                 valid: jnp.ndarray) -> jnp.ndarray:
+    """Classic L2: norm, clamp at 0.2*norm, renormalise with rsqrt
+    (s_desc_norm_l2.h:86-129, the non-normf default path)."""
+    n1 = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+    clamped = jnp.minimum(desc, 0.2 * n1)
+    n2sq = jnp.sum(clamped * clamped, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.where(n2sq > 0.0, n2sq, 1.0)) \
+        * (2.0 ** norm_multi)
+    out = clamped * inv
+    return jnp.where(valid[:, None] & (n2sq > 0.0), out, 0.0)

@@ -1,0 +1,375 @@
+"""DoG extremum detection + sub-voxel refinement, TPU-native.
+
+Replaces the atomic-compaction CUDA kernel of the reference
+(/root/reference/src/popsift/s_extrema.cu) with:
+
+1. a **dense** 26-neighbour strict-extremum test + contrast gate over the
+   whole DoG volume (vector ops, no divergence),
+2. cumsum-based **compaction** of the candidate mask into a fixed-capacity
+   buffer (replaces ballot/popc/atomicAdd, s_extrema.cu:22-44, and the
+   clamp-to-max_extrema barrier, s_extrema.cu:549-557 — here the clamp is a
+   simple `min(count, capacity)` in raster order),
+3. a **batched** Newton refinement over candidate slots (≤5 iterations,
+   closed-form 3x3 solve from s_solve.h:25-86) with the three SiftMode
+   policies (ModeFunctions<...>, s_extrema.cu:145-298).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftMode
+
+MAX_ITERATIONS = 5  # s_extrema.cu:362
+
+
+class InitialExtrema(NamedTuple):
+    """SoA analog of InitialExtremum[] (sift_extremum.h:25-39), padded to a
+    fixed capacity."""
+
+    xpos: jnp.ndarray    # (cap,) f32
+    ypos: jnp.ndarray    # (cap,) f32
+    lpos: jnp.ndarray    # (cap,) i32
+    sigma: jnp.ndarray   # (cap,) f32
+    cell: jnp.ndarray    # (cap,) i32 grid-filter cell id
+    valid: jnp.ndarray   # (cap,) bool
+    count: jnp.ndarray   # () i32 — number of valid leading slots
+    overflow: jnp.ndarray  # () i32 — survivors dropped by the capacity clamp
+
+
+def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
+                      peak_threshold: float) -> jnp.ndarray:
+    """Dense candidate mask.
+
+    dog : (levels+2, H, W).  Returns a bool mask of shape (levels, H, W)
+    where mask[z] corresponds to dog layer z+1 (the searchable inner layers,
+    find_extrema_in_dog launch shape, s_extrema.cu:506-517).
+
+    Implements first_contrast_ok (per mode) + is_extremum
+    (s_extrema.cu:56-120): value strictly greater than (or strictly less
+    than) all 26 neighbours, clamp addressing at the borders.
+    """
+    levels = dog.shape[0] - 2
+    h, w = dog.shape[-2], dog.shape[-1]
+
+    center = dog[1:levels + 1]
+
+    # Pad spatially with edge values (CUDA clamp addressing); z never needs
+    # clamping for the inner layers.
+    padded = jnp.pad(dog, ((0, 0), (1, 1), (1, 1)), mode="edge")
+
+    nb_max = jnp.full_like(center, -jnp.inf)
+    nb_min = jnp.full_like(center, jnp.inf)
+    for dz in (-1, 0, 1):
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dz == 0 and dy == 1 and dx == 1:
+                    continue
+                nb = padded[1 + dz:levels + 1 + dz, dy:dy + h, dx:dx + w]
+                nb_max = jnp.maximum(nb_max, nb)
+                nb_min = jnp.minimum(nb_min, nb)
+
+    is_ext = (center > nb_max) | (center < nb_min)
+
+    # first_contrast_ok (s_extrema.cu:150-153, 200-204, 252-256)
+    t = jnp.float32(peak_threshold)
+    aval = jnp.abs(center)
+    if sift_mode == SiftMode.OPENCV:
+        gate = aval >= jnp.floor(t)
+    elif sift_mode == SiftMode.VLFEAT:
+        gate = aval >= 0.8 * 2.0 * t
+    else:
+        gate = aval >= 1.6 * t
+
+    # border exclusion; the CUDA kernel offsets the launch grid by 1 and the
+    # strict comparisons kill clamped border pixels anyway
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    if sift_mode == SiftMode.OPENCV:
+        border = (xs >= 5) & (xs < w - 5) & (ys >= 5) & (ys < h - 5)
+    else:
+        border = (xs >= 1) & (xs < w - 1) & (ys >= 1) & (ys < h - 1)
+
+    return is_ext & gate & border
+
+
+def compact_mask(mask: jnp.ndarray, cap: int):
+    """Compact True positions of a (levels, H, W) mask into a fixed-capacity
+    coordinate buffer, in raster (z, y, x) order.
+
+    Returns (x, y, z, valid, count, overflow); z is the *mask* layer index
+    (add 1 for the DoG layer / blur level).
+    """
+    levels, h, w = mask.shape
+    flat = mask.reshape(-1)
+    incl = jnp.cumsum(flat.astype(jnp.int32))
+    total = incl[-1]
+    idx = incl - 1  # destination slot for True entries
+    dest = jnp.where(flat & (idx < cap), idx, cap)  # cap == dropped
+    lin = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    buf = jnp.zeros((cap,), jnp.int32).at[dest].set(lin, mode="drop")
+
+    count = jnp.minimum(total, cap)
+    overflow = total - count
+    valid = jnp.arange(cap, dtype=jnp.int32) < count
+
+    z = buf // (h * w)
+    rem = buf % (h * w)
+    y = rem // w
+    x = rem % w
+    # park invalid slots at a safe interior coordinate
+    one = jnp.int32(1)
+    x = jnp.where(valid, x, one)
+    y = jnp.where(valid, y, one)
+    z = jnp.where(valid, z, jnp.int32(0))
+    return x, y, z, valid, count, overflow
+
+
+def _gather27(dog: jnp.ndarray, n_x, n_y, n_z) -> jnp.ndarray:
+    """Batched 3x3x3 window gather around integer coordinates (z, y, x).
+
+    dynamic_slice clamps the start index, which matches CUDA clamp reads
+    only in-range; refinement keeps coordinates in-range by construction
+    (out-of-range moves fail the candidate first).
+    """
+    def one(z, y, x):
+        return jax.lax.dynamic_slice(dog, (z - 1, y - 1, x - 1), (3, 3, 3))
+
+    return jax.vmap(one)(n_z, n_y, n_x)
+
+
+def _solve3(A00, A01, A02, A11, A12, A22, bx, by, bz):
+    """Closed-form symmetric 3x3 solve (s_solve.h:25-86).
+
+    Returns (ok, dx, dy, dz); ok==False means det == 0.
+    """
+    det0 = A11 * A22 - A12 * A12
+    det1 = A12 * A02 - A01 * A22
+    det2 = A01 * A12 - A11 * A02
+    det3 = A00 * A22 - A02 * A02
+    det4 = A01 * A02 - A00 * A12
+    det5 = A00 * A11 - A01 * A01
+    det = A00 * det0 + A01 * det1 + A02 * det2
+    ok = det != 0.0
+    rsd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    i00 = det0 * rsd
+    i01 = det1 * rsd
+    i02 = det2 * rsd
+    i11 = det3 * rsd
+    i12 = det4 * rsd
+    i22 = det5 * rsd
+    dx = i00 * bx + i01 * by + i02 * bz
+    dy = i01 * bx + i11 * by + i12 * bz
+    dz = i02 * bx + i12 * by + i22 * bz
+    return ok, dx, dy, dz
+
+
+def refine_extrema(dog: jnp.ndarray,
+                   cand_x: jnp.ndarray, cand_y: jnp.ndarray,
+                   cand_z: jnp.ndarray, cand_valid: jnp.ndarray,
+                   sift_mode: SiftMode,
+                   sigma0: float, sigma_k: float,
+                   peak_threshold: float, edge_limit: float,
+                   grid_w_div: float, grid_h_div: float,
+                   grid_width: int):
+    """Batched Newton refinement of candidate extrema.
+
+    cand_z is the DoG layer index (candidate layers are 1..levels).
+    Returns per-slot (xpos, ypos, lpos, sigma, cell, ok).
+    """
+    n_layers, h, w = dog.shape
+    maxlevel = n_layers  # find_extrema passes _levels-1 == dog layers
+    width = jnp.int32(w)
+    height = jnp.int32(h)
+
+    nx = cand_x.astype(jnp.int32)
+    ny = cand_y.astype(jnp.int32)
+    nz = cand_z.astype(jnp.int32)
+
+    # v: DoG value at the *initial* position (s_extrema.cu:341,356)
+    v = dog[nz, ny, nx]
+
+    zeros = jnp.zeros_like(v)
+    state = dict(
+        nx=nx, ny=ny, nz=nz,
+        dx=zeros, dy=zeros, dz=zeros,
+        Dx=zeros, Dy=zeros, Dz=zeros,
+        DDx=zeros, DDy=zeros, DDz=zeros,
+        DXx=zeros, DXy=zeros, DXz=zeros,
+        done=jnp.zeros_like(cand_valid),
+        failed=~cand_valid,
+        done_iter=jnp.full(v.shape, MAX_ITERATIONS + 1, jnp.int32),
+    )
+
+    is_opencv = sift_mode == SiftMode.OPENCV
+    is_vlfeat = sift_mode == SiftMode.VLFEAT
+
+    def body(it, st):
+        active = ~st["done"] & ~st["failed"]
+
+        win = _gather27(dog, st["nx"], st["ny"], st["nz"])  # (cap,3,3,3)
+        p = lambda dz_, dy_, dx_: win[:, 1 + dz_, 1 + dy_, 1 + dx_]
+
+        Dx = 0.5 * (p(0, 0, 1) - p(0, 0, -1))
+        Dy = 0.5 * (p(0, 1, 0) - p(0, -1, 0))
+        Dz = 0.5 * (p(1, 0, 0) - p(-1, 0, 0))
+        c = p(0, 0, 0)
+        DDx = p(0, 0, 1) + p(0, 0, -1) - 2.0 * c
+        DDy = p(0, 1, 0) + p(0, -1, 0) - 2.0 * c
+        DDz = p(1, 0, 0) + p(-1, 0, 0) - 2.0 * c
+        DXx = 0.25 * (p(0, 1, 1) + p(0, -1, -1) - p(0, 1, -1) - p(0, -1, 1))
+        DXy = 0.25 * (p(1, 0, 1) + p(-1, 0, -1) - p(1, 0, -1) - p(-1, 0, 1))
+        DXz = 0.25 * (p(1, 1, 0) + p(-1, -1, 0) - p(1, -1, 0) - p(-1, 1, 0))
+
+        ok, sx, sy, sz = _solve3(DDx, DXx, DXy, DDy, DXz, DDz,
+                                 -Dx, -Dy, -Dz)
+        # det == 0: d = 0, break with success (s_extrema.cu:425-430)
+        dx = jnp.where(ok, sx, 0.0)
+        dy = jnp.where(ok, sy, 0.0)
+        dz = jnp.where(ok, sz, 0.0)
+        solve_break = ~ok
+
+        nx_, ny_, nz_ = st["nx"], st["ny"], st["nz"]
+        last_it = it == MAX_ITERATIONS
+
+        if is_opencv:
+            conv = (jnp.abs(dx) < 0.5) & (jnp.abs(dy) < 0.5) \
+                & (jnp.abs(dz) < 0.5)
+            mx = nx_ + jnp.round(dx).astype(jnp.int32)
+            my = ny_ + jnp.round(dy).astype(jnp.int32)
+            mz = nz_ + jnp.round(dz).astype(jnp.int32)
+            oob = (mx < 5) | (mx >= width - 5) | (my < 5) | \
+                (my >= height - 5) | (mz < 1) | (mz > maxlevel - 2)
+            step_fail = ~conv & oob
+            new_done = conv | solve_break
+            new_fail = ~solve_break & step_fail
+            nx_n = jnp.where(~conv & ~solve_break, mx, nx_)
+            ny_n = jnp.where(~conv & ~solve_break, my, ny_)
+            nz_n = jnp.where(~conv & ~solve_break, mz, nz_)
+        else:
+            # VLFeat (s_extrema.cu:207-232) / PopSift (s_extrema.cu:259-284)
+            tx = jnp.where((dx >= 0.6) & (nx_ < width - 2), 1, 0) \
+                + jnp.where((dx <= -0.6) & (nx_ > 1), -1, 0)
+            ty = jnp.where((dy >= 0.6) & (ny_ < height - 2), 1, 0) \
+                + jnp.where((dy <= -0.6) & (ny_ > 1), -1, 0)
+            if is_vlfeat:
+                tz = jnp.zeros_like(tx)
+            else:
+                tz = jnp.where((dz >= 0.6) & (nz_ < maxlevel - 1), 1, 0) \
+                    + jnp.where((dz <= -0.6) & (nz_ > 1), -1, 0)
+            no_move = (tx == 0) & (ty == 0) & (tz == 0)
+            # on the last iteration refine() returns 0 without moving
+            new_done = solve_break | (~last_it & no_move)
+            new_fail = jnp.zeros_like(no_move)
+            do_move = ~solve_break & ~last_it & ~no_move
+            nx_n = jnp.where(do_move, nx_ + tx, nx_)
+            ny_n = jnp.where(do_move, ny_ + ty, ny_)
+            nz_n = jnp.where(do_move, nz_ + tz, nz_)
+
+        upd = lambda old, new: jnp.where(active, new, old)
+        st2 = dict(st)
+        st2["nx"] = upd(nx_, nx_n)
+        st2["ny"] = upd(ny_, ny_n)
+        st2["nz"] = upd(nz_, nz_n)
+        for name, val in (("dx", dx), ("dy", dy), ("dz", dz),
+                          ("Dx", Dx), ("Dy", Dy), ("Dz", Dz),
+                          ("DDx", DDx), ("DDy", DDy), ("DDz", DDz),
+                          ("DXx", DXx), ("DXy", DXy), ("DXz", DXz)):
+            st2[name] = upd(st[name], val)
+        st2["done"] = st["done"] | (active & new_done)
+        st2["failed"] = st["failed"] | (active & new_fail)
+        st2["done_iter"] = jnp.where(active & new_done, it, st["done_iter"])
+        return st2
+
+    st = jax.lax.fori_loop(1, MAX_ITERATIONS + 1, body, state)
+
+    ok = cand_valid & ~st["failed"]
+
+    if is_opencv:
+        # ensure convergence (s_extrema.cu:447-452): done before hitting the
+        # iteration limit — converging *on* the 5th iteration still leaves
+        # iter >= MAX_ITERATIONS and is rejected
+        ok &= st["done_iter"] < MAX_ITERATIONS
+    else:
+        # excessive movement (s_extrema.cu:454-459) — signed comparison!
+        ok &= ~((st["dx"] >= 1.5) | (st["dy"] >= 1.5) | (st["dz"] >= 1.5))
+
+    xn = st["nx"].astype(jnp.float32) + st["dx"]
+    yn = st["ny"].astype(jnp.float32) + st["dy"]
+    sn = st["nz"].astype(jnp.float32) + st["dz"]
+
+    if not is_opencv:
+        # verify (s_extrema.cu:234-245, 286-297)
+        ok &= ~((xn < 0.0) | (xn > w - 1.0) | (yn < 0.0) | (yn > h - 1.0)
+                | (sn < 0.0) | (sn > maxlevel))
+
+    contr = v + 0.5 * (st["Dx"] * st["dx"] + st["Dy"] * st["dy"]
+                       + st["Dz"] * st["dz"])
+    tr = st["DDx"] + st["DDy"]
+    det = st["DDx"] * st["DDy"] - st["DXx"] * st["DXx"]
+    edgeval = tr * tr / jnp.where(det == 0, 1.0, det)
+
+    ok &= det > 0.0
+    ok &= jnp.abs(contr) >= 2.0 * peak_threshold
+    r = edge_limit
+    ok &= edgeval < (r + 1.0) * (r + 1.0) / r
+
+    lpos = jnp.round(sn).astype(jnp.int32)
+    sigma = sigma0 * jnp.power(jnp.float32(sigma_k), sn)
+    cell = (jnp.floor(yn / grid_h_div).astype(jnp.int32) * grid_width
+            + jnp.floor(xn / grid_w_div).astype(jnp.int32))
+
+    return xn, yn, lpos, sigma, cell, ok
+
+
+def compact_extrema(xn, yn, lpos, sigma, cell, ok, cap: int) -> InitialExtrema:
+    """Re-compact surviving refined extrema to the front of a fixed-capacity
+    buffer (raster order; the CUDA version's order is atomic-nondeterministic
+    so any stable order is fair)."""
+    incl = jnp.cumsum(ok.astype(jnp.int32))
+    total = incl[-1]
+    idx = incl - 1
+    dest = jnp.where(ok & (idx < cap), idx, cap)
+
+    def scat(vals, fill):
+        return jnp.full((cap,), fill, vals.dtype).at[dest].set(
+            vals, mode="drop")
+
+    count = jnp.minimum(total, cap)
+    overflow = total - count
+    valid = jnp.arange(cap, dtype=jnp.int32) < count
+    return InitialExtrema(
+        xpos=scat(xn, np.float32(0)),
+        ypos=scat(yn, np.float32(0)),
+        lpos=scat(lpos, np.int32(1)),
+        sigma=scat(sigma, np.float32(0)),
+        cell=scat(cell, np.int32(0)),
+        valid=valid,
+        count=count,
+        overflow=overflow,
+    )
+
+
+def find_extrema(dog: jnp.ndarray,
+                 sift_mode: SiftMode,
+                 sigma0: float, sigma_k: float,
+                 peak_threshold: float, edge_limit: float,
+                 filter_grid_size: int,
+                 cand_cap: int, ext_cap: int) -> InitialExtrema:
+    """Full per-octave pipeline: dense detect -> compact -> refine ->
+    compact (Pyramid::find_extrema, s_extrema.cu:560-640)."""
+    h, w = dog.shape[-2], dog.shape[-1]
+    mask = detect_candidates(dog, sift_mode, peak_threshold)
+    cx, cy, cz, cvalid, _, _ = compact_mask(mask, cand_cap)
+    cz = cz + 1  # mask layer -> DoG layer
+    xn, yn, lpos, sigma, cell, ok = refine_extrema(
+        dog, cx, cy, cz, cvalid, sift_mode, sigma0, sigma_k,
+        peak_threshold, edge_limit,
+        grid_w_div=w / filter_grid_size,
+        grid_h_div=h / filter_grid_size,
+        grid_width=filter_grid_size)
+    return compact_extrema(xn, yn, lpos, sigma, cell, ok, ext_cap)

@@ -1,0 +1,147 @@
+"""Orientation assignment, TPU-native.
+
+Replaces the one-block-per-extremum CUDA kernel
+(/root/reference/src/popsift/s_orientation.cu:75-259) with a batched
+fixed-window formulation:
+
+* the data-dependent radius ``rad = round(3 * 1.5 * sigma)`` becomes a
+  static window sized for the worst-case sigma of the configuration, with a
+  per-pixel validity mask reproducing the exact xmin/xmax/rad gates,
+* the shared-memory atomicAdd histogram becomes a one-hot contraction,
+* VLFeat smoothing = 6 circular box-average passes
+  (s_orientation.cu:165-178; ``WITH_VLFEAT_SMOOTHING`` is the compiled-in
+  default, s_orientation.cu:34),
+* the warp bitonic sort for peak ranking (s_orientation.cu:224-231) becomes
+  ``jax.lax.top_k``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ORI_NBINS, ORI_WINFACTOR, ORIENTATION_MAX_COUNT, M_PI2
+
+
+def max_sigma(sigma0: float, levels: int) -> float:
+    """Worst-case extremum sigma: sn <= maxlevel = levels+2
+    (verify(), s_extrema.cu:243,295)."""
+    return sigma0 * 2.0 ** ((levels + 2) / levels)
+
+
+def ori_window_size(sigma0: float, levels: int) -> int:
+    """Static window covering radius round(3 * 1.5 * sigma_max), padded to a
+    multiple of 8."""
+    rad = int(round(3.0 * ORI_WINFACTOR * max_sigma(sigma0, levels)))
+    win = 2 * rad + 1
+    return (win + 7) // 8 * 8
+
+
+def _gather_windows(field: jnp.ndarray, lpos, y0, x0, win: int):
+    """Batched (win, win) window gather from a (L, H+2P, W+2P) zero-padded
+    field; start offsets are pre-shifted by the pad P."""
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(field, (l, y, x), (1, win, win))[0]
+
+    return jax.vmap(one)(lpos, y0, x0)
+
+
+def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
+    """Six circular 3-bin box averages (s_orientation.cu:165-178)."""
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, axis=-1) + hist
+                + jnp.roll(hist, -1, axis=-1)) / 3.0
+    return hist
+
+
+def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
+                        xpos: jnp.ndarray, ypos: jnp.ndarray,
+                        lpos: jnp.ndarray, sigma: jnp.ndarray,
+                        valid: jnp.ndarray,
+                        w: int, h: int, win: int,
+                        max_count: int = ORIENTATION_MAX_COUNT):
+    """Compute up to ``max_count`` orientations per extremum slot.
+
+    mag/theta : (L, H, W) gradient fields of this octave.
+    Returns (num_ori (cap,), orientations (cap, max_count)) with orientation
+    peaks in descending-strength order (the CUDA kernel writes them in
+    bitonic-sorted order too, s_orientation.cu:239-248).
+    """
+    pad = win
+    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
+    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
+
+    rx = jnp.round(xpos).astype(jnp.int32)
+    ry = jnp.round(ypos).astype(jnp.int32)
+    rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
+    half = win // 2
+    x0 = rx - half
+    y0 = ry - half
+    lp = jnp.clip(lpos, 0, mag.shape[0] - 1)
+
+    mw = _gather_windows(magp, lp, y0 + pad, x0 + pad, win)      # (cap,win,win)
+    tw = _gather_windows(thetap, lp, y0 + pad, x0 + pad, win)
+
+    jj = x0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]  # x coords
+    ii = y0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]  # y coords
+
+    # xmin/xmax gates (s_orientation.cu:114-117)
+    xmin = jnp.maximum(1, rx - rad)
+    xmax = jnp.minimum(w - 2, rx + rad)
+    ymin = jnp.maximum(1, ry - rad)
+    ymax = jnp.minimum(h - 2, ry + rad)
+    in_x = (jj >= xmin[:, None]) & (jj <= xmax[:, None])          # (cap,win)
+    in_y = (ii >= ymin[:, None]) & (ii <= ymax[:, None])
+
+    dxf = jj.astype(jnp.float32) - xpos[:, None]                  # (cap,win)
+    dyf = ii.astype(jnp.float32) - ypos[:, None]
+    # int truncation of the squared distance (s_orientation.cu:142)
+    sq = (dxf[:, None, :] ** 2 + dyf[:, :, None] ** 2).astype(jnp.int32)
+    sigw = ORI_WINFACTOR * sigma
+    factor = -0.5 / (sigw * sigw)
+    inside = (sq <= (rad * rad)[:, None, None]) \
+        & in_x[:, None, :] & in_y[:, :, None] \
+        & valid[:, None, None]
+
+    weight = jnp.where(
+        inside, mw * jnp.exp(sq.astype(jnp.float32)
+                             * factor[:, None, None]), 0.0)
+
+    bidx = jnp.round(ORI_NBINS * (tw + math.pi) / M_PI2).astype(jnp.int32)
+    bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
+
+    onehot = (bidx[..., None] ==
+              jnp.arange(ORI_NBINS, dtype=jnp.int32)).astype(jnp.float32)
+    hist = jnp.einsum("pyx,pyxb->pb", weight, onehot,
+                      preferred_element_type=jnp.float32)
+
+    sm = smooth_histogram_vlfeat(hist)
+
+    # per-bin quadratic peak refinement (s_orientation.cu:199-221)
+    prev = jnp.roll(sm, 1, axis=-1)
+    nxt = jnp.roll(sm, -1, axis=-1)
+    is_peak = sm > jnp.maximum(prev, nxt)
+    num = jnp.where(is_peak, 3.0 * prev - 4.0 * sm + 1.0 * nxt, 0.0)
+    denB = jnp.where(is_peak, 2.0 * (prev - 2.0 * sm + nxt), 1.0)
+    newbin = num / denB
+    pred = is_peak & (newbin >= 0.0) & (newbin <= 2.0)
+    bins = jnp.arange(ORI_NBINS, dtype=jnp.float32)
+    prev_idx = jnp.where(bins == 0, ORI_NBINS - 1.0, bins - 1.0)
+    refined = jnp.where(pred, prev_idx + newbin, -1.0)
+    yval = jnp.where(pred, -(num * num) / (4.0 * denB) + prev, -jnp.inf)
+
+    top_val, top_idx = jax.lax.top_k(yval, max_count)
+    best = top_val[:, :1]
+    accept = (top_val >= 0.8 * best) & jnp.isfinite(top_val) \
+        & valid[:, None]
+
+    chosen = jnp.take_along_axis(refined, top_idx, axis=-1)
+    chosen = jnp.where(chosen >= ORI_NBINS, chosen - ORI_NBINS, chosen)
+    th = M_PI2 * chosen / ORI_NBINS - math.pi
+
+    num_ori = jnp.sum(accept.astype(jnp.int32), axis=-1)
+    orientations = jnp.where(accept, th, 0.0)
+    return num_ori, orientations

@@ -1,0 +1,220 @@
+"""Gaussian scale-space + DoG construction, TPU-native.
+
+Replaces the texture/surface/stream machinery of the reference
+(/root/reference/src/popsift/s_pyramid_build*.cu, s_pyramid_fixed.cu) with
+dense per-octave ``(levels+3, H, W)`` arrays and XLA convolutions:
+
+* input resampling: the reference reads the input through a
+  normalized-coordinate bilinear texture (s_image.cu:138-167) so that the
+  octave-0 grid implicitly up/downscales the image; here this is an explicit
+  separable bilinear resample to the octave grid (same + 0.5*2^up "shift"
+  semantics, s_pyramid_build.cu:110-114).
+* separable Gaussian blur: the warp-shuffle gather kernels
+  (s_pyramid_build_aa.cu:17-50) become 1-D convolutions with edge padding
+  (the analog of CUDA clamp addressing).
+* octave downscale: pick-every-second-pixel of level ``levels-3``
+  (s_pyramid_build.cu:50-71) becomes a strided slice.
+* DoG: adjacent-level subtraction (make_dog, s_pyramid_build.cu:74-92).
+
+All shapes are static; one jitted program replaces the per-octave CUDA
+stream/event graph (XLA schedules the octave chain).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GaussMode, ScalingMode, SiftMode
+from ..gauss import GaussInfo
+
+PREV_LEVEL = 3  # s_pyramid_build.cu:22
+
+
+def _resample_1d(arr: jnp.ndarray, dst_size: int, src_size: int,
+                 shift: float, axis: int) -> jnp.ndarray:
+    """Bilinear resample along one axis.
+
+    Destination index x samples the source at normalized coordinate
+    (x + shift) / dst_size, i.e. source pixel (x+shift)*src/dst - 0.5, with
+    clamp addressing — exactly the texture read in
+    s_pyramid_build_ra.cu:37-38 combined with the hardware bilinear filter.
+    """
+    pos = (np.arange(dst_size, dtype=np.float64) + shift) \
+        * (src_size / dst_size) - 0.5
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, src_size - 1)
+    i1 = np.clip(i0 + 1, 0, src_size - 1)
+    w = np.clip(pos - np.floor(pos), 0.0, 1.0).astype(np.float32)
+    # CUDA clamps the *coordinate*; below 0 the fractional weight must not
+    # blend: floor(pos) < 0 gives i0 == i1 == 0 so the weight is harmless.
+    a = jnp.take(arr, jnp.asarray(i0), axis=axis)
+    b = jnp.take(arr, jnp.asarray(i1), axis=axis)
+    w_shape = [1] * arr.ndim
+    w_shape[axis] = dst_size
+    w = jnp.asarray(w).reshape(w_shape)
+    return a * (1.0 - w) + b * w
+
+
+def resample_input(image: jnp.ndarray, dst_h: int, dst_w: int,
+                   shift: float) -> jnp.ndarray:
+    """Resample the [0,1]-normalized input image onto an octave grid."""
+    src_h, src_w = image.shape
+    out = _resample_1d(image, dst_h, src_h, shift, axis=0)
+    out = _resample_1d(out, dst_w, src_w, shift, axis=1)
+    return out
+
+
+def _full_kernel(half_taps: np.ndarray, span: int) -> np.ndarray:
+    """Expand a half-sided filter (centre first) into the full symmetric
+    kernel of length 2*span-1."""
+    h = half_taps[:span]
+    return np.concatenate([h[:0:-1], h]).astype(np.float32)
+
+
+def blur_1d(img: jnp.ndarray, half_taps: np.ndarray, span: int,
+            axis: int) -> jnp.ndarray:
+    """Separable Gaussian blur along one axis with edge ("clamp") padding.
+
+    ``img`` is (..., H, W); axis is -1 (horizontal) or -2 (vertical).
+
+    Implemented as shift-and-add over statically unrolled taps instead of a
+    conv op: the taps are few (span <= 31), XLA fuses the whole sum into a
+    single VPU loop, and — unlike ``lax.conv`` — it compiles quickly and
+    identically on every backend.  Symmetric taps are paired (one multiply
+    per pair) like the CUDA kernels pair A+B reads
+    (s_pyramid_build_aa.cu:28-47).
+    """
+    span = int(span)
+    taps = np.asarray(half_taps, dtype=np.float32)
+    if span <= 1:
+        return img * float(taps[0])
+
+    pad = span - 1
+    pad_cfg = [(0, 0)] * img.ndim
+    pad_cfg[axis] = (pad, pad)
+    padded = jnp.pad(img, pad_cfg, mode="edge")
+
+    size = img.shape[axis]
+
+    def sl(off: int) -> jnp.ndarray:
+        idx = [slice(None)] * img.ndim
+        idx[axis] = slice(pad + off, pad + off + size)
+        return padded[tuple(idx)]
+
+    out = sl(0) * float(taps[0])
+    for off in range(1, span):
+        out = out + (sl(-off) + sl(off)) * float(taps[off])
+    return out
+
+
+def sep_blur(img: jnp.ndarray, half_taps: np.ndarray, span: int) -> jnp.ndarray:
+    """Full separable blur (horizontal then vertical, same taps)."""
+    out = blur_1d(img, half_taps, span, axis=-1)
+    return blur_1d(out, half_taps, span, axis=-2)
+
+
+def downscale_by_2(level: jnp.ndarray) -> jnp.ndarray:
+    """get_by_2_pick_every_second (s_pyramid_build.cu:50-71): output pixel
+    (x,y) = source (2x, 2y).  ceil-halving dims come out naturally from the
+    strided slice."""
+    return level[..., ::2, ::2]
+
+
+def make_dog(stack: jnp.ndarray) -> jnp.ndarray:
+    """DoG layers: dog[l] = level[l+1] - level[l] (s_pyramid_build.cu:74-92)."""
+    return stack[1:] - stack[:-1]
+
+
+def input_shift(sift_mode: SiftMode, upscale_factor: float,
+                octave: int) -> float:
+    """Sub-pixel shift when reading the input image
+    (s_pyramid_build.cu:110-114)."""
+    if octave == 0 and sift_mode in (SiftMode.POPSIFT, SiftMode.VLFEAT):
+        return 0.5 * (2.0 ** (upscale_factor - octave))
+    return 0.5
+
+
+def build_pyramid(image: jnp.ndarray,
+                  gauss: GaussInfo,
+                  dims: tuple[tuple[int, int], ...],
+                  levels: int,
+                  gauss_mode: GaussMode,
+                  scaling_mode: ScalingMode,
+                  sift_mode: SiftMode,
+                  upscale_factor: float) -> list[jnp.ndarray]:
+    """Build the full Gaussian scale space.
+
+    Parameters
+    ----------
+    image : (H, W) f32 array, values in [0, 1] (normalized like the CUDA
+        uint8 texture read).
+    dims : per-octave (w, h).
+    levels : config.levels (the stack has levels+3 layers).
+
+    Returns a list of per-octave stacks (levels+3, H_o, W_o), scaled by 255
+    like the reference surfaces (s_pyramid_build_ra.cu:54).
+
+    Strategy dispatch mirrors build_pyramid (s_pyramid_build.cu:459-594).
+    The Fixed9/Fixed15 fused octave kernels (s_pyramid_fixed.cu) share the
+    incremental math here; the fusion is an implementation detail of the
+    CUDA version that XLA performs on its own.
+    """
+    L = levels + 3
+    num_octaves = len(dims)
+    stacks: list[jnp.ndarray] = []
+
+    fixed = gauss_mode in (GaussMode.FIXED9, GaussMode.FIXED15)
+    direct = scaling_mode == ScalingMode.SCALE_DIRECT and not fixed
+
+    for octave in range(num_octaves):
+        w, h = dims[octave]
+        shift = input_shift(sift_mode, upscale_factor, octave)
+        lvls: list[jnp.ndarray] = []
+
+        if gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
+            # all levels directly from the input image with abs_o0
+            # (s_pyramid_build.cu:543-546)
+            base = resample_input(image, h, w, shift)
+            for lvl in range(L):
+                t = gauss.abs_o0
+                out = blur_1d(base, t.filter[lvl], t.span[lvl], axis=-1)
+                out = out * 255.0
+                out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-2)
+                lvls.append(out)
+        else:
+            for lvl in range(L):
+                if lvl == 0:
+                    if octave == 0:
+                        # horiz_from_input + vert with inc[0]
+                        # (s_pyramid_build.cu:554-555)
+                        base = resample_input(image, h, w, shift)
+                        out = blur_1d(base, gauss.dd.filter[0],
+                                      gauss.dd.span[0], axis=-1) * 255.0
+                        out = blur_1d(out, gauss.inc.filter[0],
+                                      gauss.inc.span[0], axis=-2)
+                        lvls.append(out)
+                    elif direct:
+                        # level 0 of octave o from the input image with
+                        # dd[octave] (s_pyramid_build.cu:506-507)
+                        base = resample_input(image, h, w, shift)
+                        out = blur_1d(base, gauss.dd.filter[octave],
+                                      gauss.dd.span[octave], axis=-1) * 255.0
+                        out = blur_1d(out, gauss.inc.filter[0],
+                                      gauss.inc.span[0], axis=-2)
+                        lvls.append(out)
+                    else:
+                        # downscale from previous octave's level L-3
+                        # (s_pyramid_build.cu:559-562)
+                        src = stacks[octave - 1][L - PREV_LEVEL]
+                        down = downscale_by_2(src)
+                        lvls.append(down[:h, :w])
+                else:
+                    t = gauss.inc
+                    out = blur_1d(lvls[lvl - 1], t.filter[lvl],
+                                  t.span[lvl], axis=-1)
+                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-2)
+                    lvls.append(out)
+
+        stacks.append(jnp.stack(lvls))
+    return stacks

@@ -1,0 +1,289 @@
+"""The PopSift host pipeline: async jobs over a 2-stage worker pipeline.
+
+Mirrors the reference's architecture (/root/reference/src/popsift/popsift.
+{h,cpp}): a ``PopSift`` instance owns two worker threads connected by
+queues —
+
+* stage 1 (``uploadImages``, popsift.cpp:293-304): takes jobs, normalizes
+  and transfers the image to the device (the analog of the pinned-memory
+  async H2D copy, s_image.cu:69-77), bounded by a 2-slot staging pool
+  (double buffering, popsift.cpp:34-41),
+* stage 2 (``extractDownloadLoop`` / ``matchPrepareLoop``,
+  popsift.cpp:306-383): runs the jitted extraction, downloads features
+  (ExtractingMode) or keeps descriptors device-resident (MatchingMode), and
+  fulfils the job's future.
+
+``SiftJob`` wraps a ``concurrent.futures.Future`` the way the reference
+wraps std::promise/std::future (popsift.h:44-100), including the error
+propagation of matchPrepareLoop (popsift.cpp:354-377) — and, unlike the
+reference, extraction mode also propagates errors (SURVEY.md §5.3 notes the
+asymmetry as a bug worth fixing).
+"""
+
+from __future__ import annotations
+
+import enum
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from .config import Config, ImageMode, LogMode, ProcessingMode
+from .extract import get_extractor, normalize_input
+from .features import (FeaturesBase, FeaturesDev, FeaturesHost,
+                       assemble_features, assemble_features_dev)
+
+
+class AllocTest(enum.Enum):
+    """popsift.h:139-147."""
+
+    Ok = 0
+    ImageExceedsLinearTextureLimit = 1
+    ImageExceedsLayeredSurfaceLimit = 2
+
+
+# The CUDA limits were device texture limits (popsift.cpp:168-196); on TPU
+# the practical constraint is HBM for the octave-0 stack and its derived
+# fields. 2^15 matches common CUDA linear-texture width limits and keeps the
+# largest octave under a few GB.
+MAX_INPUT_DIM = 1 << 15
+MAX_OCTAVE0_PIXELS = 1 << 26  # 64 MPix after upscaling
+
+
+class SiftJob:
+    """Async extraction job (popsift.h:44-100).
+
+    The constructor copies the image (popsift.cpp:385-425) so the caller's
+    buffer can be reused immediately.
+    """
+
+    def __init__(self, w: int, h: int, image_data: np.ndarray) -> None:
+        self._w = w
+        self._h = h
+        self._image_data = np.array(image_data, copy=True).reshape(h, w)
+        self._f: Future = Future()
+        self._err: BaseException | None = None
+        self._device_image = None
+
+    # stage-1: normalize + move to device (SiftJob::setImg analog)
+    def set_img(self, device_image) -> None:
+        self._device_image = device_image
+
+    def get_img(self):
+        return self._device_image
+
+    def set_features(self, f: FeaturesBase | None) -> None:
+        self._f.set_result(f)
+
+    def set_error(self, err: BaseException) -> None:
+        self._err = err
+
+    def get(self) -> FeaturesHost:
+        return self.get_host()
+
+    def get_base(self) -> FeaturesBase:
+        return self._f.result()
+
+    def get_host(self) -> FeaturesHost:
+        r = self._f.result()
+        if self._err is not None:
+            raise self._err
+        return r if isinstance(r, FeaturesHost) else None
+
+    def get_dev(self) -> FeaturesDev:
+        r = self._f.result()
+        if self._err is not None:
+            raise self._err
+        return r if isinstance(r, FeaturesDev) else None
+
+
+class PopSift:
+    """The pipeline object (popsift.h:105-317)."""
+
+    ByteImages = ImageMode.BYTE
+    FloatImages = ImageMode.FLOAT
+
+    def __init__(self, config: Config | None = None,
+                 mode: ProcessingMode = ProcessingMode.EXTRACTING,
+                 imode: ImageMode = ImageMode.BYTE,
+                 device: int = 0) -> None:
+        import jax
+        self._image_mode = ImageMode(imode)
+        self._proc_mode = ProcessingMode(mode)
+        self._device = jax.devices()[device]
+        self._config = (config.clone() if config is not None else Config())
+        self._config.levels = max(2, self._config.levels)
+        self._isInit = True
+
+        self._queue_stage1: queue.Queue = queue.Queue()
+        self._queue_stage2: queue.Queue = queue.Queue()
+        # double-buffered staging pool: at most 2 images in flight
+        # (popsift.cpp:34-41)
+        self._pool = threading.Semaphore(2)
+
+        self._thread_stage1 = threading.Thread(
+            target=self._upload_images, daemon=True)
+        if self._proc_mode == ProcessingMode.EXTRACTING:
+            self._thread_stage2 = threading.Thread(
+                target=self._extract_download_loop, daemon=True)
+        else:
+            self._thread_stage2 = threading.Thread(
+                target=self._match_prepare_loop, daemon=True)
+        self._thread_stage1.start()
+        self._thread_stage2.start()
+
+    # ------------------------------------------------------------------
+    def configure(self, config: Config, force: bool = False) -> bool:
+        """Replace the configuration; only allowed between jobs
+        (popsift.cpp:79-89 refuses after pyramid allocation — here any time
+        is safe because extractors are cached per config)."""
+        self._config = config.clone()
+        self._config.levels = max(2, self._config.levels)
+        return True
+
+    def uninit(self) -> None:
+        if not self._isInit:
+            import sys
+            print("[warning] Attempt to release resources from an "
+                  "uninitialized instance", file=sys.stderr)
+            return
+        self._queue_stage1.put(None)
+        self._thread_stage1.join()
+        self._thread_stage2.join()
+        self._isInit = False
+
+    def __del__(self) -> None:
+        try:
+            if getattr(self, "_isInit", False):
+                self.uninit()
+        except Exception:
+            pass
+
+    def __enter__(self) -> "PopSift":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.uninit()
+
+    # ------------------------------------------------------------------
+    def test_texture_fit(self, width: int, height: int) -> AllocTest:
+        """HBM/shape preflight (analog of testTextureFit,
+        popsift.cpp:168-196)."""
+        if width > MAX_INPUT_DIM or height > MAX_INPUT_DIM:
+            return AllocTest.ImageExceedsLinearTextureLimit
+        w, h = self._config.scaled_dims(width, height)
+        if w * h > MAX_OCTAVE0_PIXELS:
+            return AllocTest.ImageExceedsLayeredSurfaceLimit
+        return AllocTest.Ok
+
+    def test_texture_fit_error_string(self, err: AllocTest,
+                                      width: int, height: int) -> str:
+        if err == AllocTest.Ok:
+            return "?    No error.\n"
+        if err == AllocTest.ImageExceedsLinearTextureLimit:
+            return (f"E    Cannot load unscaled image.\n"
+                    f"E    It exceeds the max input size {MAX_INPUT_DIM}.\n"
+                    f"E    Got ({width},{height})\n")
+        up = self._config.get_upscale_factor()
+        return (f"E    Cannot use upscaling factor {up} "
+                f"(i.e. scaling by {2.0 ** up}).\n"
+                f"E    The first octave would exceed the device memory "
+                f"budget.\nE    Increase downsampling to fit.\n")
+
+    # ------------------------------------------------------------------
+    def enqueue(self, w: int, h: int, image_data) -> SiftJob | None:
+        """Submit an image (byte or float variant by pipeline image mode,
+        popsift.cpp:243-291). Returns None for oversized images like the
+        reference."""
+        import sys
+        arr = np.asarray(image_data)
+        if self._image_mode == ImageMode.BYTE:
+            if arr.dtype != np.uint8:
+                raise RuntimeError(
+                    "Image mode error\nE    Cannot load float images into "
+                    "a PopSift pipeline configured for byte images")
+        else:
+            if arr.dtype == np.uint8:
+                raise RuntimeError(
+                    "Image mode error\nE    Cannot load byte images into a "
+                    "PopSift pipeline configured for float images")
+            arr = arr.astype(np.float32)
+
+        a = self.test_texture_fit(w, h)
+        if a != AllocTest.Ok:
+            print("Image too large\n"
+                  + self.test_texture_fit_error_string(a, w, h),
+                  file=sys.stderr)
+            return None
+
+        job = SiftJob(w, h, arr)
+        self._queue_stage1.put(job)
+        return job
+
+    # deprecated blocking API (popsift.h:262-278)
+    def init(self, w: int, h: int) -> None:
+        self._deprecated_dims = (w, h)
+
+    def execute(self, image_data) -> FeaturesBase:
+        w, h = self._deprecated_dims
+        job = self.enqueue(w, h, image_data)
+        return job.get_base() if job is not None else None
+
+    # ------------------------------------------------------------------
+    # worker threads
+    # ------------------------------------------------------------------
+    def _upload_images(self) -> None:
+        import jax
+        while True:
+            job = self._queue_stage1.get()
+            if job is None:
+                self._queue_stage2.put(None)
+                return
+            self._pool.acquire()  # backpressure: 2 staged images max
+            try:
+                norm = normalize_input(job._image_data)
+                job.set_img(jax.device_put(norm, self._device))
+            except BaseException as e:  # noqa: BLE001
+                job.set_error(e)
+            self._queue_stage2.put(job)
+
+    def _run_extraction(self, job: SiftJob):
+        fn, plan = get_extractor(self._config, job._w, job._h)
+        result = fn(job.get_img())
+        return result, plan
+
+    def _extract_download_loop(self) -> None:
+        while True:
+            job = self._queue_stage2.get()
+            if job is None:
+                return
+            try:
+                result, plan = self._run_extraction(job)
+                feats = assemble_features(
+                    result, self._config.get_upscale_factor())
+                self._pool.release()  # image no longer needed
+                if self._config.log_mode == LogMode.ALL:
+                    from .debugdump import dump_all
+                    dump_all(self._config, job, "pyramid")
+                job.set_features(feats)
+            except BaseException as e:  # noqa: BLE001
+                self._pool.release()
+                job.set_error(e)
+                job.set_features(None)
+
+    def _match_prepare_loop(self) -> None:
+        while True:
+            job = self._queue_stage2.get()
+            if job is None:
+                return
+            try:
+                result, plan = self._run_extraction(job)
+                feats = assemble_features_dev(
+                    result, self._config.get_upscale_factor())
+                self._pool.release()
+                job.set_features(feats)
+            except BaseException as e:  # noqa: BLE001
+                self._pool.release()
+                job.set_error(e)
+                job.set_features(None)
