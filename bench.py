@@ -1,0 +1,79 @@
+"""Benchmark: 1080p SIFT extraction throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference PopSift is "real-time" (~25-30 fps class) at 1080p
+on a GTX 980 Ti (BASELINE.md); vs_baseline is fps / 25.0, and the round
+target is >= 2.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_1080p_image(seed: int = 0) -> np.ndarray:
+    """Smooth random texture with realistic keypoint density."""
+    rng = np.random.default_rng(seed)
+    h, w = 1080, 1920
+    base = rng.random((h // 4, w // 4)).astype(np.float32)
+    img = np.kron(base, np.ones((4, 4), np.float32))
+    for _ in range(2):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, -1, 0)
+               + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 5.0
+    img = (img - img.min()) / (img.max() - img.min())
+    return (img * 255).astype(np.uint8)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from popsift_tpu.config import Config
+    from popsift_tpu.extract import get_extractor, normalize_input
+
+    h, w = 1080, 1920
+    config = Config()
+
+    img = make_1080p_image()
+    fn, plan = get_extractor(config, w, h)
+
+    norm = jnp.asarray(normalize_input(img))
+    norm = jax.device_put(norm)
+
+    # compile + warmup
+    t0 = time.time()
+    out = fn(norm)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    counts = [int(od["count"]) for od in out["octaves"]]
+    oris = [int(od["ori_count"]) for od in out["octaves"]]
+    print(f"# compile {compile_s:.1f}s ext={sum(counts)} "
+          f"ori={sum(oris)} per-octave={counts}", file=sys.stderr)
+
+    # timed runs (device-side extraction latency)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(norm)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    fps = 1.0 / dt
+    print(f"# {dt * 1e3:.1f} ms/image -> {fps:.2f} images/s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "sift_extraction_1080p_fps",
+        "value": round(fps, 3),
+        "unit": "images/s",
+        "vs_baseline": round(fps / 25.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""Multi-chip scaling via jax.sharding over an ICI mesh.
+
+The reference has no distributed runtime — "multi-GPU" is one PopSift
+instance per device (SURVEY.md §2.7, popsift.h:158-168).  The TPU-native
+scaling model is the SfM front-end batch form:
+
+* **data parallelism** over images: a batch of same-sized images is sharded
+  over the ``data`` mesh axis and each chip runs the full extraction
+  pipeline on its shard (zero collectives inside one image's pipeline —
+  matching the reference's independence property),
+* **model parallelism** over descriptor matching: the right-hand descriptor
+  set is sharded over the ``model`` axis; each chip computes a local
+  best/second-best against its column shard and the global top-2 is
+  combined with an all_gather over ICI (a distributed top-k, the analog of
+  splitting compute_distance's scan, features.cu:186-228).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..extract import get_extractor, make_plan
+from ..gauss import build_gauss_info
+from ..constants import build_const_info
+from ..extract import extract_pipeline
+
+
+def make_mesh(devices=None, data: int | None = None,
+              model: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the given devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batched_extractor(config: Config, width: int, height: int, mesh: Mesh):
+    """Jitted data-parallel batched extraction.
+
+    Returns fn(images (B, H, W) f32 [0,1]) -> pytree of batched results,
+    with the batch dimension sharded over the 'data' mesh axis.  B must be
+    divisible by the data axis size.
+    """
+    plan = make_plan(config, width, height)
+    gauss = build_gauss_info(config)
+    consts = build_const_info(config)
+
+    def one(image):
+        return extract_pipeline(image, plan, gauss, consts)
+
+    batched = jax.vmap(one)
+    in_spec = NamedSharding(mesh, P("data", None, None))
+
+    fn = jax.jit(batched, in_shardings=(in_spec,))
+    return fn, plan
+
+
+def _local_top2(l_desc, r_desc, r_valid):
+    ln = jnp.sum(l_desc * l_desc, axis=-1, keepdims=True)
+    rn = jnp.sum(r_desc * r_desc, axis=-1)[None, :]
+    cross = jnp.dot(l_desc, r_desc.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(ln + rn - 2.0 * cross, 0.0)
+    d2 = jnp.where(r_valid[None, :], d2, jnp.inf)
+    i1 = jnp.argmin(d2, axis=-1)
+    v1 = jnp.take_along_axis(d2, i1[:, None], axis=-1)[:, 0]
+    masked = d2.at[jnp.arange(d2.shape[0]), i1].set(jnp.inf)
+    i2 = jnp.argmin(masked, axis=-1)
+    v2 = jnp.take_along_axis(masked, i2[:, None], axis=-1)[:, 0]
+    return v1, i1, v2, i2
+
+
+def sharded_match(mesh: Mesh, ratio: float = 0.8):
+    """Build a jitted sharded brute-force matcher.
+
+    Left descriptors are sharded over 'data' (rows), right descriptors over
+    'model' (columns). Each chip computes a local top-2 against its column
+    shard; the global top-2 is reduced by an all_gather of per-shard
+    candidates over 'model' (ICI), then a tiny local combine.
+    """
+    def matcher(l_desc, r_desc, r_valid):
+        shard_size = r_desc.shape[0]
+
+        def kernel(l_blk, r_blk, rv_blk):
+            # local candidates against this column shard
+            v1, i1, v2, i2 = _local_top2(l_blk, r_blk, rv_blk)
+            col = jax.lax.axis_index("model")
+            base = col * r_blk.shape[0]
+            # gather the per-shard (top1, top2) over the model axis
+            cand_v = jax.lax.all_gather(
+                jnp.stack([v1, v2], axis=-1), "model")   # (S, N, 2)
+            cand_i = jax.lax.all_gather(
+                jnp.stack([i1 + base, i2 + base], axis=-1), "model")
+            S = cand_v.shape[0]
+            cv = jnp.moveaxis(cand_v, 0, 1).reshape(l_blk.shape[0], 2 * S)
+            ci = jnp.moveaxis(cand_i, 0, 1).reshape(l_blk.shape[0], 2 * S)
+            # global top-2 among the 2S candidates
+            b1 = jnp.argmin(cv, axis=-1)
+            g1v = jnp.take_along_axis(cv, b1[:, None], -1)[:, 0]
+            g1i = jnp.take_along_axis(ci, b1[:, None], -1)[:, 0]
+            cv2 = cv.at[jnp.arange(cv.shape[0]), b1].set(jnp.inf)
+            b2 = jnp.argmin(cv2, axis=-1)
+            g2v = jnp.take_along_axis(cv2, b2[:, None], -1)[:, 0]
+            g2i = jnp.take_along_axis(ci, b2[:, None], -1)[:, 0]
+            accept = g1v / g2v < ratio
+            return (g1i.astype(jnp.int32), g2i.astype(jnp.int32),
+                    accept, g1v, g2v)
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+        # outputs are replicated over 'model' after the all_gather +
+        # deterministic combine; the static varying-axes check cannot infer
+        # that, hence check_vma=False
+        return shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P("data", None), P("model", None), P("model")),
+            out_specs=(P("data"), P("data"), P("data"), P("data"),
+                       P("data")),
+            check_vma=False,
+        )(l_desc, r_desc, r_valid)
+
+    return jax.jit(matcher)
+
+
+def sfm_frontend_step(config: Config, width: int, height: int, mesh: Mesh,
+                      desc_cap: int = 1024):
+    """The flagship multi-chip "step": batched extraction (dp over images)
+    + chained pairwise matching with model-parallel right-hand shards.
+
+    Returns fn(images (B, H, W)) -> dict with per-image descriptor blocks
+    and match results between consecutive images. This is what
+    ``__graft_entry__.dryrun_multichip`` compiles over an N-device mesh.
+    """
+    extract_fn, plan = batched_extractor(config, width, height, mesh)
+    # the descriptor block is row-sharded over 'data' (as matcher input) and
+    # column-sharded over 'model' (as match target) — round to both
+    cap = _round_to(desc_cap, int(mesh.devices.size) * 8)
+
+    def pack_desc(result):
+        """Compact the valid descriptors of all octaves into a fixed-size
+        (cap, 128) block per image (batched cumsum compaction)."""
+        parts = [od["desc"] for od in result["octaves"]]
+        valid = [od["ori_valid"] for od in result["octaves"]]
+        d = jnp.concatenate(parts, axis=1)          # (B, sum_ocap, 128)
+        v = jnp.concatenate(valid, axis=1)          # (B, sum_ocap)
+
+        def one(di, vi):
+            incl = jnp.cumsum(vi.astype(jnp.int32))
+            idx = incl - 1
+            dest = jnp.where(vi & (idx < cap), idx, cap)
+            out = jnp.zeros((cap, 128), di.dtype).at[dest].set(
+                di, mode="drop")
+            count = jnp.minimum(incl[-1], cap)
+            ov = jnp.arange(cap, dtype=jnp.int32) < count
+            return out, ov
+
+        return jax.vmap(one)(d, v)
+
+    match = sharded_match(mesh)
+
+    def step(images):
+        result = extract_fn(images)
+        desc, dvalid = pack_desc(result)
+        # chained pairwise matching image i -> i+1 (static unroll over B)
+        matches = []
+        B = desc.shape[0]
+        for i in range(B - 1):
+            matches.append(match(desc[i], desc[i + 1], dvalid[i + 1]))
+        counts = jnp.stack([jnp.sum(m[2] & dvalid[i])
+                            for i, m in enumerate(matches)]) \
+            if matches else jnp.zeros((0,), jnp.int32)
+        return dict(
+            ext_counts=jnp.stack(
+                [jnp.sum(jnp.stack([od["count"]
+                                    for od in result["octaves"]]), axis=0)]),
+            desc=desc, desc_valid=dvalid, match_counts=counts)
+
+    return jax.jit(step), plan
+
+
+def _round_to(x: int, m: int) -> int:
+    return -(-x // m) * m
