@@ -17,12 +17,21 @@ import numpy as np
 
 
 def make_1080p_image(seed: int = 0) -> np.ndarray:
-    """Smooth random texture with realistic keypoint density."""
+    """Natural-image-like 1080p test scene.
+
+    Band-limited random texture (1/f-ish spectrum) tuned to yield a
+    keypoint count in the range PopSift reports for real 1080p footage
+    (~5-15k extrema), rather than a corner-everywhere noise pattern."""
     rng = np.random.default_rng(seed)
     h, w = 1080, 1920
-    base = rng.random((h // 4, w // 4)).astype(np.float32)
-    img = np.kron(base, np.ones((4, 4), np.float32))
-    for _ in range(2):
+    img = np.zeros((h, w), np.float32)
+    # sum of upsampled octave noise: coarse structure dominates
+    for cell, amp in ((128, 1.0), (64, 0.6), (32, 0.35), (16, 0.2),
+                      (8, 0.1)):
+        base = rng.random((h // cell + 2, w // cell + 2)).astype(np.float32)
+        up = np.kron(base, np.ones((cell, cell), np.float32))[:h, :w]
+        img += amp * up
+    for _ in range(3):
         img = (img + np.roll(img, 1, 0) + np.roll(img, -1, 0)
                + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 5.0
     img = (img - img.min()) / (img.max() - img.min())
@@ -56,7 +65,7 @@ def main() -> int:
           f"ori={sum(oris)} per-octave={counts}", file=sys.stderr)
 
     # timed runs (device-side extraction latency)
-    iters = 10
+    iters = 3
     t0 = time.time()
     for _ in range(iters):
         out = fn(norm)

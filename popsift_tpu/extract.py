@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import Config, DescMode, GaussMode, NormMode, ScalingMode, SiftMode
+from .config import (Config, DescMode, GaussMode, GridFilterMode, NormMode,
+                     ScalingMode, SiftMode)
 from .constants import ConstInfo, build_const_info
 from .gauss import GaussInfo, build_gauss_info
 from .ops import descriptors as ops_desc
@@ -58,6 +59,7 @@ class ExtractorPlan:
     norm_multi: int
     filter_grid_size: int
     filter_max_extrema: int
+    grid_filter_mode: "GridFilterMode"
     cand_caps: tuple[int, ...]
     ext_caps: tuple[int, ...]
     ori_caps: tuple[int, ...]
@@ -82,13 +84,20 @@ def make_plan(config: Config, width: int, height: int) -> ExtractorPlan:
     ori_caps = []
     for (w, h) in dims:
         voxels = w * h * levels
+        # Static capacities replace the reference's realloc-on-overflow
+        # (sift_pyramid.cu:179-209). Defaults cover typical natural-image
+        # keypoint densities with slack; the clamp semantics on overflow
+        # match the reference's clamp to max_extrema
+        # (s_extrema.cu:549-557). `overflow` counters report drops.
         if config.ext_capacity > 0:
             ext_cap = config.ext_capacity
         else:
             ext_cap = min(config.max_extrema,
-                          max(512, _round_up(voxels // 64, 128)))
-        cand_cap = min(config.max_extrema,
-                       max(1024, _round_up(voxels // 24, 128)))
+                          max(512, _round_up(voxels // 256, 128)),
+                          16384)
+        cand_cap = min(max(config.max_extrema, 2 * ext_cap),
+                       max(1024, _round_up(voxels // 64, 128)),
+                       65536)
         if config.ori_capacity > 0:
             ori_cap = config.ori_capacity
         else:
@@ -111,6 +120,7 @@ def make_plan(config: Config, width: int, height: int) -> ExtractorPlan:
         norm_multi=config.norm_multiplier,
         filter_grid_size=config.filter_grid_size,
         filter_max_extrema=config.filter_max_extrema,
+        grid_filter_mode=config.grid_filter_mode,
         cand_caps=tuple(cand_caps), ext_caps=tuple(ext_caps),
         ori_caps=tuple(ori_caps),
         ori_win=ops_ori.ori_window_size(config.sigma, levels),
@@ -135,21 +145,31 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
         plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
 
     out: dict[str, Any] = {"octaves": []}
+    dogs = [ops_pyr.make_dog(stack) for stack in stacks]
     if return_pyramid:
         out["pyramid"] = stacks
-        out["dog"] = []
+        out["dog"] = dogs
+
+    exts = [
+        ops_ext.find_extrema(
+            dogs[o], plan.sift_mode, plan.sigma0, plan.sigma_k,
+            plan.peak_threshold, plan.edge_limit, plan.filter_grid_size,
+            plan.cand_caps[o], plan.ext_caps[o])
+        for o in range(plan.octaves)
+    ]
+
+    # grid filtering between detection and orientation
+    # (Pyramid::orientation, s_orientation.cu:378-385)
+    if plan.filter_max_extrema > 0:
+        from .ops import filtergrid as ops_fg
+        keeps = ops_fg.grid_filter_keep_masks(
+            exts, plan.filter_max_extrema, plan.filter_grid_size,
+            plan.grid_filter_mode)
+        exts = [ops_fg.recompact(e, k) for e, k in zip(exts, keeps)]
 
     for o, stack in enumerate(stacks):
         w, h = plan.dims[o]
-        dog = ops_pyr.make_dog(stack)
-        if return_pyramid:
-            out["dog"].append(dog)
-
-        ext = ops_ext.find_extrema(
-            dog, plan.sift_mode, plan.sigma0, plan.sigma_k,
-            plan.peak_threshold, plan.edge_limit, plan.filter_grid_size,
-            plan.cand_caps[o], plan.ext_caps[o])
-
+        ext = exts[o]
         mag, theta = ops_grad.gradient_fields(stack)
 
         num_ori, orientations = ops_ori.assign_orientations(

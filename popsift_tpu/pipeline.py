@@ -249,9 +249,12 @@ class PopSift:
             self._queue_stage2.put(job)
 
     def _run_extraction(self, job: SiftJob):
-        fn, plan = get_extractor(self._config, job._w, job._h)
-        result = fn(job.get_img())
-        return result, plan
+        """Staged extraction (host count readback + bucketed compiles,
+        the analog of the reference's counter readback + realloc between
+        stages, sift_pyramid.cu:373-376 / s_orientation.cu:364-441)."""
+        from .staged import get_staged_extractor
+        ex = get_staged_extractor(self._config, job._w, job._h)
+        return ex.extract(job.get_img()), ex.plan
 
     def _extract_download_loop(self) -> None:
         while True:

@@ -1,0 +1,234 @@
+"""Staged extraction with host-side count readback and bucketed compiles.
+
+The monolithic :func:`popsift_tpu.extract.extract_pipeline` pads every
+per-keypoint stage to worst-case capacity, so orientation/descriptor work is
+proportional to *capacity*, not to the actual keypoint count.  The reference
+has the same problem in reverse and solves it the same way this module does:
+it reads the extrema counters back to the host between detection and
+orientation (readDescCountersFromDevice, sift_pyramid.cu:373-376) and sizes
+the downstream launches from them (s_orientation.cu:364-441).
+
+Staged flow:
+
+* **stage 1** (one jit): pyramid -> DoG -> dense detection -> refinement ->
+  compaction (+ grid filter).  Returns pyramid/gradient fields (stay in
+  HBM) and per-octave extremum buffers + a packed count vector (one scalar
+  readback).
+* **stage 2** (jit per bucket tuple): orientations for the first
+  ``bucket(count)`` slots of each octave; returns packed ori counts.
+* **stage 3** (jit per bucket tuple): descriptors for ``bucket(ori_count)``
+  slots + normalisation.
+
+Buckets are powers of two (min 128), so the jit cache stays small and the
+padding waste is bounded by 2x instead of capacity/count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, DescMode, NormMode
+from .constants import build_const_info
+from .extract import ExtractorPlan, make_plan
+from .gauss import build_gauss_info
+from .ops import descriptors as ops_desc
+from .ops import extrema as ops_ext
+from .ops import gradients as ops_grad
+from .ops import orientation as ops_ori
+from .ops import pyramid as ops_pyr
+
+
+def bucket(n: int, lo: int = 128) -> int:
+    """Next power of two >= max(n, lo)."""
+    if n <= 0:
+        return 0
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class StagedExtractor:
+    """Compiled staged extraction for one (config, W, H) bucket."""
+
+    def __init__(self, config: Config, width: int, height: int) -> None:
+        self.config = config
+        self.plan: ExtractorPlan = make_plan(config, width, height)
+        self.gauss = build_gauss_info(config)
+        self.consts = build_const_info(config)
+        self._stage1 = jax.jit(self._stage1_fn)
+        self._stage2 = {}
+        self._stage3 = {}
+
+    # ------------------------------------------------------------------
+    def _stage1_fn(self, image):
+        plan = self.plan
+        stacks = ops_pyr.build_pyramid(
+            image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
+            plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
+        dogs = [ops_pyr.make_dog(s) for s in stacks]
+        exts = [
+            ops_ext.find_extrema(
+                dogs[o], plan.sift_mode, plan.sigma0, plan.sigma_k,
+                plan.peak_threshold, plan.edge_limit, plan.filter_grid_size,
+                plan.cand_caps[o], plan.ext_caps[o])
+            for o in range(plan.octaves)
+        ]
+        if plan.filter_max_extrema > 0:
+            from .ops import filtergrid as ops_fg
+            keeps = ops_fg.grid_filter_keep_masks(
+                exts, plan.filter_max_extrema, plan.filter_grid_size,
+                plan.grid_filter_mode)
+            exts = [ops_fg.recompact(e, k) for e, k in zip(exts, keeps)]
+        grads = [ops_grad.gradient_fields(s) for s in stacks]
+        counts = jnp.stack([e.count for e in exts])
+        overflows = jnp.stack([e.overflow for e in exts])
+        return dict(stacks=stacks, grads=grads, exts=exts, counts=counts,
+                    overflows=overflows)
+
+    # ------------------------------------------------------------------
+    def _get_stage2(self, ks: tuple[int, ...]):
+        fn = self._stage2.get(ks)
+        if fn is not None:
+            return fn
+        plan = self.plan
+
+        def stage2(grads, exts):
+            outs = []
+            ori_counts = []
+            for o, k in enumerate(ks):
+                if k == 0:
+                    outs.append((jnp.zeros((0,), jnp.int32),
+                                 jnp.zeros((0, 4), jnp.float32),
+                                 jnp.zeros((0,), jnp.int32)))
+                    ori_counts.append(jnp.int32(0))
+                    continue
+                w, h = plan.dims[o]
+                mag, theta = grads[o]
+                e = exts[o]
+                num_ori, oris = ops_ori.assign_orientations(
+                    mag, theta, e.xpos[:k], e.ypos[:k], e.lpos[:k],
+                    e.sigma[:k], e.valid[:k], w, h, plan.ori_win)
+                nums = jnp.where(e.valid[:k], num_ori, 0)
+                incl = jnp.cumsum(nums)
+                outs.append((nums, oris, incl))
+                ori_counts.append(incl[-1])
+            return outs, jnp.stack(ori_counts)
+
+        fn = jax.jit(stage2)
+        self._stage2[ks] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def _get_stage3(self, key: tuple):
+        fn = self._stage3.get(key)
+        if fn is not None:
+            return fn
+        plan = self.plan
+        ks, bs = key
+
+        def stage3(grads, stacks, exts, oris):
+            descs = []
+            for o in range(plan.octaves):
+                k, b = ks[o], bs[o]
+                if b == 0 or k == 0:
+                    descs.append(jnp.zeros((0, 128), jnp.float32))
+                    continue
+                w, h = plan.dims[o]
+                mag, theta = grads[o]
+                e = exts[o]
+                nums, angs, incl = oris[o]
+                idx_ori = incl - nums
+                j = jnp.arange(b, dtype=jnp.int32)
+                fmap = jnp.searchsorted(incl, j, side="right") \
+                    .astype(jnp.int32)
+                ovalid = j < jnp.minimum(incl[-1], b)
+                ei = jnp.clip(fmap, 0, k - 1)
+                kk = jnp.clip(j - idx_ori[ei], 0, 3)
+                ang = angs[ei, kk]
+                ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
+                el, es = e.lpos[:k][ei], e.sigma[:k][ei]
+
+                if plan.desc_mode in (DescMode.LOOP, DescMode.ILOOP):
+                    d = ops_desc.loop_descriptors(
+                        mag, theta, ex, ey, el, es, ang, ovalid,
+                        w, h, plan.desc_win)
+                else:
+                    d = ops_desc.grid_descriptors(
+                        stacks[o], ex, ey, el, es, ang, ovalid,
+                        self.consts.desc_gauss, self.consts.desc_tile,
+                        rounded=(plan.desc_mode == DescMode.GRID))
+                if plan.norm_mode == NormMode.ROOT_SIFT:
+                    d = ops_desc.normalize_rootsift(
+                        d, plan.norm_multi, ovalid)
+                else:
+                    d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
+                descs.append(d)
+            return descs
+
+        fn = jax.jit(stage3)
+        self._stage3[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def extract(self, image) -> dict[str, Any]:
+        """Run the staged pipeline.  ``image`` is a (H, W) f32 [0,1] array
+        (numpy or device).  Returns the same result pytree layout as
+        :func:`popsift_tpu.extract.extract_pipeline`."""
+        plan = self.plan
+        s1 = self._stage1(image)
+
+        counts = np.asarray(s1["counts"])  # single host readback
+        ks = tuple(min(bucket(int(c)), plan.ext_caps[o])
+                   for o, c in enumerate(counts))
+
+        oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], s1["exts"])
+        ori_counts = np.asarray(ori_counts_dev)  # second host readback
+        bs = tuple(min(bucket(int(c)), plan.ori_caps[o])
+                   for o, c in enumerate(ori_counts))
+
+        descs = self._get_stage3((ks, bs))(
+            s1["grads"], s1["stacks"], s1["exts"], oris)
+
+        out: dict[str, Any] = {"octaves": []}
+        for o in range(plan.octaves):
+            e = s1["exts"][o]
+            k, b = ks[o], bs[o]
+            nums, angs, incl = oris[o]
+            idx_ori = incl - nums
+            ori_count = int(min(ori_counts[o], b))
+            j = np.arange(b, dtype=np.int32)
+            if b > 0:
+                fmap = np.searchsorted(np.asarray(incl), j, side="right") \
+                    .astype(np.int32)
+                fmap = np.clip(fmap, 0, max(k - 1, 0))
+            else:
+                fmap = j
+            out["octaves"].append(dict(
+                x=e.xpos[:k] if k else e.xpos[:0],
+                y=e.ypos[:k] if k else e.ypos[:0],
+                lpos=e.lpos[:k] if k else e.lpos[:0],
+                sigma=e.sigma[:k] if k else e.sigma[:0],
+                cell=e.cell[:k] if k else e.cell[:0],
+                valid=e.valid[:k] if k else e.valid[:0],
+                count=np.int32(min(int(counts[o]), k)),
+                overflow=np.asarray(s1["overflows"])[o],
+                num_ori=nums, orientations=angs, idx_ori=idx_ori,
+                desc=descs[o],
+                ori_valid=jnp.arange(b) < ori_count,
+                ori_count=np.int32(ori_count),
+                ori_overflow=np.int32(max(0, int(ori_counts[o]) - b)),
+                feat_map=fmap,
+            ))
+        return out
+
+
+@functools.lru_cache(maxsize=16)
+def get_staged_extractor(config: Config, width: int,
+                         height: int) -> StagedExtractor:
+    return StagedExtractor(config, width, height)
