@@ -128,6 +128,23 @@ def make_plan(config: Config, width: int, height: int) -> ExtractorPlan:
     )
 
 
+def _dispatch_descriptors(plan, consts, stack, mag, theta,
+                          ex, ey, el, es, ang, ovalid, w, h):
+    """Descriptor-mode dispatch (sift_desc.cu:55-110)."""
+    if plan.desc_mode == DescMode.LOOP:
+        return ops_desc.loop_descriptors(
+            mag, theta, ex, ey, el, es, ang, ovalid, w, h, plan.desc_win)
+    if plan.desc_mode == DescMode.ILOOP:
+        return ops_desc.iloop_descriptors(
+            stack, ex, ey, el, es, ang, ovalid)
+    if plan.desc_mode == DescMode.GRID:
+        return ops_desc.grid_rounded_descriptors(
+            stack, ex, ey, el, es, ang, ovalid)
+    return ops_desc.grid_descriptors(
+        stack, ex, ey, el, es, ang, ovalid,
+        consts.desc_gauss, consts.desc_tile)
+
+
 def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
                      gauss: GaussInfo, consts: ConstInfo,
                      return_pyramid: bool = False) -> dict[str, Any]:
@@ -195,15 +212,9 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
         el = ext.lpos[e]
         es = ext.sigma[e]
 
-        if plan.desc_mode in (DescMode.LOOP, DescMode.ILOOP):
-            desc = ops_desc.loop_descriptors(
-                mag, theta, ex, ey, el, es, ang, ovalid,
-                w, h, plan.desc_win)
-        else:
-            desc = ops_desc.grid_descriptors(
-                stack, ex, ey, el, es, ang, ovalid,
-                consts.desc_gauss, consts.desc_tile,
-                rounded=(plan.desc_mode == DescMode.GRID))
+        desc = _dispatch_descriptors(
+            plan, consts, stack, mag, theta, ex, ey, el, es, ang, ovalid,
+            w, h)
 
         if plan.norm_mode == NormMode.ROOT_SIFT:
             desc = ops_desc.normalize_rootsift(desc, plan.norm_multi, ovalid)

@@ -18,11 +18,15 @@ They fall into two numerical families:
   descriptor + static (40,4) tile-weight matrices.
 
 The per-mode sampling differences:
-  - loop/iloop -> loop family (iloop's texture-interpolated gradient is a
-    hardware trick, not a numerics change at integer pixels),
-  - notile/igrid -> grid family with bilinear sampling,
-  - grid -> grid family with samples rounded to pixel centres
-    (s_desc_grid.cu:60-103).
+  - loop -> axis-aligned integer-pixel scan (:func:`loop_descriptors`),
+  - iloop -> axis-aligned scan of a fixed 32x32 normalized grid per tile
+    with rotated-derivative gradients (s_desc_iloop.cu:60-112;
+    :func:`iloop_descriptors`),
+  - notile/igrid -> rotated 40x40 grid with bilinear sampling
+    (:func:`grid_descriptors`),
+  - grid -> rotated grid with samples rounded to pixel centres,
+    recomputed weights and axis-aligned gradients (s_desc_grid.cu:60-103;
+    :func:`grid_rounded_descriptors`).
 """
 
 from __future__ import annotations
@@ -188,8 +192,9 @@ def grid_descriptors(stack: jnp.ndarray,
                      desc_gauss: np.ndarray, desc_tile: np.ndarray,
                      rounded: bool = False,
                      chunk: int = 64) -> jnp.ndarray:
-    """NoTile/IGrid-mode descriptors (rounded=True gives Grid mode's
-    pixel-centre rounding, s_desc_grid.cu:60-103).
+    """NoTile/IGrid-mode descriptors (s_desc_notile.cu:31-129): rotated
+    40x40 sample grid, bilinear gradient sampling, precomputed Gaussian
+    window + triangle tile weights.
 
     stack : (L, H, W) blurred levels of the octave.
     Returns (cap, 128).
@@ -255,6 +260,176 @@ def grid_descriptors(stack: jnp.ndarray,
             padv(valid, False))
     args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
     out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+def grid_rounded_descriptors(stack: jnp.ndarray,
+                             xpos, ypos, lpos, sigma, ang, valid,
+                             chunk: int = 64) -> jnp.ndarray:
+    """Grid-mode descriptors (s_desc_grid.cu:18-121): each tile samples its
+    own rotated 16x16 grid, every sample is rounded to the nearest pixel,
+    the tile/Gaussian weights are recomputed from the *rounded* position
+    (skipped when the recomputed triangle weight goes negative,
+    s_desc_grid.cu:86), the gradient is the axis-aligned central difference
+    at that pixel, and the angle is de-rotated with ``th -= ang``."""
+    L, h, w = stack.shape
+    offs = np.asarray(_tile_offsets())
+
+    def one_slot(x, y, l, sig, a, vld):
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        lp = jnp.clip(l, 0, L - 1)
+        img = jax.lax.dynamic_index_in_dim(stack, lp, axis=0,
+                                           keepdims=False)
+        csbp = cos_t * sbp
+        ssbp = sin_t * sbp
+
+        # local 16x16 grid in tile units: (k+0.5)/8 - 1 (s_desc_grid.cu:69)
+        k = (jnp.arange(16, dtype=jnp.float32) + 0.5) / 8.0 - 1.0
+        ul = k[None, :]
+        vl = k[:, None]
+        ulg = jnp.broadcast_to(ul, (16, 16))
+        vlg = jnp.broadcast_to(vl, (16, 16))
+        # axis-aligned offset of the sample from the tile centre (SBP units)
+        pixox = cos_t * ulg - sin_t * vlg
+        pixoy = cos_t * vlg + sin_t * ulg
+
+        bins = jnp.arange(8, dtype=jnp.int32)
+        D = jnp.zeros((4, 4, 8), jnp.float32)
+        for iy in range(4):
+            for ix in range(4):
+                oxf, oyf = float(offs[ix]), float(offs[iy])
+                ptx = csbp * oxf - ssbp * oyf + x     # tile centre
+                pty = csbp * oyf + ssbp * oxf + y
+                # round to pixel centres (s_desc_grid.cu:71)
+                px = jnp.round(ptx + pixox * sbp)
+                py = jnp.round(pty + pixoy * sbp)
+                # recomputed rotated-local coords of the rounded pixel
+                rx = (px - ptx) / safe_sbp
+                ry = (py - pty) / safe_sbp
+                nx = cos_t * rx + sin_t * ry
+                ny = cos_t * ry - sin_t * rx
+
+                ix0 = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+                iy0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+                xp = jnp.clip(ix0 + 1, 0, w - 1)
+                xm = jnp.clip(ix0 - 1, 0, w - 1)
+                yp = jnp.clip(iy0 + 1, 0, h - 1)
+                ym = jnp.clip(iy0 - 1, 0, h - 1)
+                gdx = img[iy0, xp] - img[iy0, xm]
+                gdy = img[yp, ix0] - img[ym, ix0]
+                mod = jnp.hypot(gdx, gdy)
+                th = jnp.arctan2(gdy, gdx) - a
+                th = jnp.where(th < 0.0, th + M_PI2, th)
+                th = jnp.where(th >= M_PI2, th - M_PI2, th)
+                tth = th * M_4RPI
+                fo = jnp.floor(tth).astype(jnp.int32)
+                do0 = tth - fo.astype(jnp.float32)
+                fo0 = jnp.clip(fo, 0, 7)
+                fo1 = (fo0 + 1) % 8
+
+                dnx = nx + oxf
+                dny = ny + oyf
+                ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+                wx = 1.0 - jnp.abs(nx)
+                wy = 1.0 - jnp.abs(ny)
+                good = (wx >= 0.0) & (wy >= 0.0) & ok
+                wgt = jnp.where(good, ww * wx * wy * mod, 0.0)
+                A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+                     + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+                D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
+        return D.reshape(128)
+
+    return _chunked_slots(one_slot, (xpos, ypos, lpos, sigma, ang, valid),
+                          chunk)
+
+
+def iloop_descriptors(stack: jnp.ndarray,
+                      xpos, ypos, lpos, sigma, ang, valid,
+                      chunk: int = 32) -> jnp.ndarray:
+    """ILoop-mode descriptors (s_desc_iloop.cu:18-130): per tile, a fixed
+    32x32 axis-aligned sample grid spanning the tile's rotated bounding box
+    (dx, dy in [-bsz, bsz) steps of bsz/16, SBP units), rotated-derivative
+    gradients via bilinear interpolation, no angle subtraction."""
+    L, h, w = stack.shape
+    offs = np.asarray(_tile_offsets())
+
+    def one_slot(x, y, l, sig, a, vld):
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        lp = jnp.clip(l, 0, L - 1)
+        img = jax.lax.dynamic_index_in_dim(stack, lp, axis=0,
+                                           keepdims=False)
+        bsz = jnp.abs(cos_t) + jnp.abs(sin_t)
+
+        k = jnp.arange(32, dtype=jnp.float32)
+        dx = (-bsz + k * bsz / 16.0)[None, :]    # (1, 32)
+        dy = (-bsz + k * bsz / 16.0)[:, None]    # (32, 1)
+        dxg = jnp.broadcast_to(dx, (32, 32))
+        dyg = jnp.broadcast_to(dy, (32, 32))
+
+        nx = cos_t * dxg + sin_t * dyg
+        ny = cos_t * dyg - sin_t * dxg
+        nn_ok = (jnp.abs(nx) < 1.0) & (jnp.abs(ny) < 1.0)
+
+        D = jnp.zeros((4, 4, 8), jnp.float32)
+        bins = jnp.arange(8, dtype=jnp.int32)
+        csbp = cos_t * sbp
+        ssbp = sin_t * sbp
+        for iy in range(4):
+            for ix in range(4):
+                ox, oy = float(offs[ix]), float(offs[iy])
+                ptx = csbp * ox - ssbp * oy
+                pty = csbp * oy + ssbp * ox
+                jj = x + ptx + dxg * sbp
+                ii = y + pty + dyg * sbp
+                gdx = _bilinear(img, jj + cos_t, ii + sin_t) \
+                    - _bilinear(img, jj - cos_t, ii - sin_t)
+                gdy = _bilinear(img, jj - sin_t, ii + cos_t) \
+                    - _bilinear(img, jj + sin_t, ii - cos_t)
+                mod = jnp.hypot(gdx, gdy)
+                th = jnp.arctan2(gdy, gdx)
+                th = jnp.where(th < 0.0, th + M_PI2, th)
+                th = jnp.where(th >= M_PI2, th - M_PI2, th)
+                tth = th * M_4RPI
+                fo = jnp.floor(tth).astype(jnp.int32)
+                do0 = tth - fo.astype(jnp.float32)
+                fo0 = jnp.clip(fo, 0, 7)
+                fo1 = (fo0 + 1) % 8
+
+                dnx = nx + ox
+                dny = ny + oy
+                ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+                wgt = jnp.where(nn_ok & ok,
+                                ww * (1.0 - jnp.abs(nx))
+                                * (1.0 - jnp.abs(ny)) * mod, 0.0)
+                A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+                     + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+                D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
+        return D.reshape(128)
+
+    return _chunked_slots(one_slot, (xpos, ypos, lpos, sigma, ang, valid),
+                          chunk)
+
+
+def _chunked_slots(one_slot, args, chunk: int) -> jnp.ndarray:
+    """Run a per-slot descriptor function over all slots in lax.map chunks."""
+    cap = args[0].shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    padded = tuple(padv(a) for a in args[:-1]) + (padv(args[-1], False),)
+    padded = tuple(a.reshape((n_chunks, chunk) + a.shape[1:])
+                   for a in padded)
+    out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), padded)
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 

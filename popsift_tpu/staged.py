@@ -154,15 +154,10 @@ class StagedExtractor:
                 ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
                 el, es = e.lpos[:k][ei], e.sigma[:k][ei]
 
-                if plan.desc_mode in (DescMode.LOOP, DescMode.ILOOP):
-                    d = ops_desc.loop_descriptors(
-                        mag, theta, ex, ey, el, es, ang, ovalid,
-                        w, h, plan.desc_win)
-                else:
-                    d = ops_desc.grid_descriptors(
-                        stacks[o], ex, ey, el, es, ang, ovalid,
-                        self.consts.desc_gauss, self.consts.desc_tile,
-                        rounded=(plan.desc_mode == DescMode.GRID))
+                from .extract import _dispatch_descriptors
+                d = _dispatch_descriptors(
+                    plan, self.consts, stacks[o], mag, theta,
+                    ex, ey, el, es, ang, ovalid, w, h)
                 if plan.norm_mode == NormMode.ROOT_SIFT:
                     d = ops_desc.normalize_rootsift(
                         d, plan.norm_multi, ovalid)
