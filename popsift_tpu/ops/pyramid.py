@@ -165,14 +165,50 @@ def build_pyramid(image: jnp.ndarray,
     stacks: list[jnp.ndarray] = []
 
     fixed = gauss_mode in (GaussMode.FIXED9, GaussMode.FIXED15)
-    direct = scaling_mode == ScalingMode.SCALE_DIRECT and not fixed
+    direct_requested = scaling_mode == ScalingMode.SCALE_DIRECT
+    direct = direct_requested and not fixed
 
     for octave in range(num_octaves):
         w, h = dims[octave]
         shift = input_shift(sift_mode, upscale_factor, octave)
         lvls: list[jnp.ndarray] = []
 
-        if gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
+        if fixed:
+            # Fixed9/Fixed15 fused octave (s_pyramid_fixed.cu:269-288,
+            # requires levels+3 == 6):
+            if L != 6:
+                raise ValueError(
+                    "Unsupported number of levels for making all octaves "
+                    "at once")
+            if octave == 0:
+                # all levels from the input with abs_o0; tshift applied
+                # regardless of SiftMode (s_pyramid_fixed.cu:232)
+                tshift = 0.5 * (2.0 ** upscale_factor)
+                base = resample_input(image, h, w, tshift)
+                for lvl in range(L):
+                    t = gauss.abs_o0
+                    out = blur_1d(base, t.filter[lvl], t.span[lvl], axis=-2)
+                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-1)
+                    lvls.append(out * 255.0)
+            else:
+                # level 0 by downscale (or direct-scaling), then levels 1+
+                # from level 0 with abs_oN (absoluteTexAddress variant)
+                if direct_requested:
+                    base = resample_input(image, h, w, 0.5)
+                    lvl0 = blur_1d(base, gauss.dd.filter[octave],
+                                   gauss.dd.span[octave], axis=-1) * 255.0
+                    lvl0 = blur_1d(lvl0, gauss.inc.filter[0],
+                                   gauss.inc.span[0], axis=-2)
+                else:
+                    src = stacks[octave - 1][L - PREV_LEVEL]
+                    lvl0 = downscale_by_2(src)[:h, :w]
+                lvls.append(lvl0)
+                for lvl in range(1, L):
+                    t = gauss.abs_oN
+                    out = blur_1d(lvl0, t.filter[lvl], t.span[lvl], axis=-2)
+                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-1)
+                    lvls.append(out)
+        elif gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
             # all levels directly from the input image with abs_o0
             # (s_pyramid_build.cu:543-546)
             base = resample_input(image, h, w, shift)
