@@ -257,5 +257,9 @@ def normalize_input(image: np.ndarray) -> np.ndarray:
     255, s_image.cu:147); float input is passed through (already [0,1] by
     API contract, main.cpp:231-236)."""
     if image.dtype == np.uint8:
-        return image.astype(np.float32) / 255.0
+        try:
+            from . import _host_native
+            return _host_native.normalize_u8(image)
+        except ImportError:
+            return image.astype(np.float32) / 255.0
     return np.asarray(image, dtype=np.float32)

@@ -15,6 +15,11 @@ RATE_G = 9617
 RATE_B = 1868
 RATE_SHIFT = 14
 
+try:  # native fast path (cpp/host_native.cpp); numpy fallback below
+    from .. import _host_native
+except ImportError:
+    _host_native = None
+
 
 def rgb_to_grey(rgb: np.ndarray) -> np.ndarray:
     """OpenCV integer grey conversion (pgmread.cpp:33-47)."""
@@ -47,6 +52,12 @@ def _read_tokens(data: bytes, count: int, pos: int):
 
 def read_pgm(path: str) -> np.ndarray:
     """Read a P2/P5 PGM or P3/P6 PPM into a (H, W) uint8 grey array."""
+    if _host_native is not None:
+        return _host_native.read_pgm(path)
+    return _read_pgm_py(path)
+
+
+def _read_pgm_py(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     magic = data[:2]

@@ -57,46 +57,33 @@ def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
     return hist
 
 
-def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
-                        xpos: jnp.ndarray, ypos: jnp.ndarray,
-                        lpos: jnp.ndarray, sigma: jnp.ndarray,
-                        valid: jnp.ndarray,
-                        w: int, h: int, win: int,
-                        max_count: int = ORIENTATION_MAX_COUNT):
-    """Compute up to ``max_count`` orientations per extremum slot.
-
-    mag/theta : (L, H, W) gradient fields of this octave.
-    Returns (num_ori (cap,), orientations (cap, max_count)) with orientation
-    peaks in descending-strength order (the CUDA kernel writes them in
-    bitonic-sorted order too, s_orientation.cu:239-248).
-    """
-    pad = win
-    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
-    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
-
+def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
+                w: int, h: int, win: int, pad: int, n_levels: int):
+    """Gradient-magnitude orientation histograms for a batch of slots
+    (ori_par's first phase, s_orientation.cu:104-162)."""
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
     rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
     half = win // 2
     x0 = rx - half
     y0 = ry - half
-    lp = jnp.clip(lpos, 0, mag.shape[0] - 1)
+    lp = jnp.clip(lpos, 0, n_levels - 1)
 
-    mw = _gather_windows(magp, lp, y0 + pad, x0 + pad, win)      # (cap,win,win)
+    mw = _gather_windows(magp, lp, y0 + pad, x0 + pad, win)    # (c,win,win)
     tw = _gather_windows(thetap, lp, y0 + pad, x0 + pad, win)
 
-    jj = x0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]  # x coords
-    ii = y0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]  # y coords
+    jj = x0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    ii = y0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
 
     # xmin/xmax gates (s_orientation.cu:114-117)
     xmin = jnp.maximum(1, rx - rad)
     xmax = jnp.minimum(w - 2, rx + rad)
     ymin = jnp.maximum(1, ry - rad)
     ymax = jnp.minimum(h - 2, ry + rad)
-    in_x = (jj >= xmin[:, None]) & (jj <= xmax[:, None])          # (cap,win)
+    in_x = (jj >= xmin[:, None]) & (jj <= xmax[:, None])
     in_y = (ii >= ymin[:, None]) & (ii <= ymax[:, None])
 
-    dxf = jj.astype(jnp.float32) - xpos[:, None]                  # (cap,win)
+    dxf = jj.astype(jnp.float32) - xpos[:, None]
     dyf = ii.astype(jnp.float32) - ypos[:, None]
     # int truncation of the squared distance (s_orientation.cu:142)
     sq = (dxf[:, None, :] ** 2 + dyf[:, :, None] ** 2).astype(jnp.int32)
@@ -113,10 +100,51 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     bidx = jnp.round(ORI_NBINS * (tw + math.pi) / M_PI2).astype(jnp.int32)
     bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
 
-    onehot = (bidx[..., None] ==
-              jnp.arange(ORI_NBINS, dtype=jnp.int32)).astype(jnp.float32)
-    hist = jnp.einsum("pyx,pyxb->pb", weight, onehot,
-                      preferred_element_type=jnp.float32)
+    c = weight.shape[0]
+    wflat = weight.reshape(c, win * win)
+    bflat = bidx.reshape(c, win * win)
+    # histogram via per-bin masked sums (36 fused passes; avoids a giant
+    # one-hot tensor)
+    cols = []
+    for b in range(ORI_NBINS):
+        cols.append(jnp.sum(jnp.where(bflat == b, wflat, 0.0), axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
+                        xpos: jnp.ndarray, ypos: jnp.ndarray,
+                        lpos: jnp.ndarray, sigma: jnp.ndarray,
+                        valid: jnp.ndarray,
+                        w: int, h: int, win: int,
+                        max_count: int = ORIENTATION_MAX_COUNT,
+                        chunk: int = 256):
+    """Compute up to ``max_count`` orientations per extremum slot.
+
+    mag/theta : (L, H, W) gradient fields of this octave.
+    Returns (num_ori (cap,), orientations (cap, max_count)) with orientation
+    peaks in descending-strength order (the CUDA kernel writes them in
+    bitonic-sorted order too, s_orientation.cu:239-248).
+    """
+    pad = win
+    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
+    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
+    n_levels = mag.shape[0]
+
+    cap = xpos.shape[0]
+    chunk = min(chunk, max(cap, 1))
+    n_chunks = -(-cap // chunk) if cap else 0
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+
+    hist = jax.lax.map(
+        lambda c: _histograms(magp, thetap, *c, w, h, win, pad, n_levels),
+        args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
 
     sm = smooth_histogram_vlfeat(hist)
 
