@@ -61,35 +61,83 @@ class StagedExtractor:
         self.plan: ExtractorPlan = make_plan(config, width, height)
         self.gauss = build_gauss_info(config)
         self.consts = build_const_info(config)
-        self._stage1 = jax.jit(self._stage1_fn)
+        self._stage1a = jax.jit(self._stage1a_fn)
+        self._stage1b = {}
         self._stage2 = {}
         self._stage3 = {}
 
     # ------------------------------------------------------------------
-    def _stage1_fn(self, image):
+    def _stage1a_fn(self, image):
+        """Pyramid + DoG + dense detection + candidate compaction +
+        gradient fields. Returns candidate buffers and their counts (one
+        readback sizes the refinement stage)."""
         plan = self.plan
         stacks = ops_pyr.build_pyramid(
             image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
             plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
         dogs = [ops_pyr.make_dog(s) for s in stacks]
-        exts = [
-            ops_ext.find_extrema(
-                dogs[o], plan.sift_mode, plan.sigma0, plan.sigma_k,
-                plan.peak_threshold, plan.edge_limit, plan.filter_grid_size,
-                plan.cand_caps[o], plan.ext_caps[o])
-            for o in range(plan.octaves)
-        ]
-        if plan.filter_max_extrema > 0:
-            from .ops import filtergrid as ops_fg
-            keeps = ops_fg.grid_filter_keep_masks(
-                exts, plan.filter_max_extrema, plan.filter_grid_size,
-                plan.grid_filter_mode)
-            exts = [ops_fg.recompact(e, k) for e, k in zip(exts, keeps)]
+        cands = []
+        cand_counts = []
+        cand_overflows = []
+        for o in range(plan.octaves):
+            mask = ops_ext.detect_candidates(
+                dogs[o], plan.sift_mode, plan.peak_threshold)
+            cx, cy, cz, cvalid, ccount, coverflow = ops_ext.compact_mask(
+                mask, plan.cand_caps[o])
+            cands.append((cx, cy, cz, cvalid))
+            cand_counts.append(ccount)
+            cand_overflows.append(coverflow)
         grads = [ops_grad.gradient_fields(s) for s in stacks]
-        counts = jnp.stack([e.count for e in exts])
-        overflows = jnp.stack([e.overflow for e in exts])
-        return dict(stacks=stacks, grads=grads, exts=exts, counts=counts,
-                    overflows=overflows)
+        return dict(stacks=stacks, dogs=dogs, grads=grads, cands=cands,
+                    cand_counts=jnp.stack(cand_counts),
+                    cand_overflows=jnp.stack(cand_overflows))
+
+    # ------------------------------------------------------------------
+    def _get_stage1b(self, cks: tuple[int, ...]):
+        """Refinement + extremum compaction (+ grid filter) at bucketed
+        candidate counts."""
+        fn = self._stage1b.get(cks)
+        if fn is not None:
+            return fn
+        plan = self.plan
+
+        def stage1b(dogs, cands):
+            exts = []
+            for o in range(plan.octaves):
+                ck = cks[o]
+                w, h = plan.dims[o]
+                if ck == 0:
+                    exts.append(ops_ext.compact_extrema(
+                        *(jnp.zeros((1,), t) for t in
+                          (jnp.float32, jnp.float32, jnp.int32,
+                           jnp.float32, jnp.int32)),
+                        jnp.zeros((1,), bool), plan.ext_caps[o]))
+                    continue
+                cx, cy, cz, cvalid = cands[o]
+                xn, yn, lpos, sigma, cell, ok = ops_ext.refine_extrema(
+                    dogs[o], cx[:ck], cy[:ck], cz[:ck] + 1, cvalid[:ck],
+                    plan.sift_mode, plan.sigma0, plan.sigma_k,
+                    plan.peak_threshold, plan.edge_limit,
+                    grid_w_div=w / plan.filter_grid_size,
+                    grid_h_div=h / plan.filter_grid_size,
+                    grid_width=plan.filter_grid_size)
+                exts.append(ops_ext.compact_extrema(
+                    xn, yn, lpos, sigma, cell, ok,
+                    min(plan.ext_caps[o], max(ck, 128))))
+            if plan.filter_max_extrema > 0:
+                from .ops import filtergrid as ops_fg
+                keeps = ops_fg.grid_filter_keep_masks(
+                    exts, plan.filter_max_extrema, plan.filter_grid_size,
+                    plan.grid_filter_mode)
+                exts = [ops_fg.recompact(e, k)
+                        for e, k in zip(exts, keeps)]
+            counts = jnp.stack([e.count for e in exts])
+            overflows = jnp.stack([e.overflow for e in exts])
+            return exts, counts, overflows
+
+        fn = jax.jit(stage1b)
+        self._stage1b[cks] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def _get_stage2(self, ks: tuple[int, ...]):
@@ -176,10 +224,18 @@ class StagedExtractor:
         (numpy or device).  Returns the same result pytree layout as
         :func:`popsift_tpu.extract.extract_pipeline`."""
         plan = self.plan
-        s1 = self._stage1(image)
+        s1 = self._stage1a(image)
 
-        counts = np.asarray(s1["counts"])  # single host readback
-        ks = tuple(min(bucket(int(c)), plan.ext_caps[o])
+        cand_counts = np.asarray(s1["cand_counts"])  # readback 1
+        cks = tuple(min(bucket(int(c)), plan.cand_caps[o])
+                    for o, c in enumerate(cand_counts))
+
+        exts, counts_dev, overflows_dev = self._get_stage1b(cks)(
+            s1["dogs"], s1["cands"])
+        s1 = dict(s1, exts=exts, overflows=overflows_dev)
+
+        counts = np.asarray(counts_dev)  # readback 2
+        ks = tuple(min(bucket(int(c)), int(exts[o].valid.shape[0]))
                    for o, c in enumerate(counts))
 
         oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], s1["exts"])
