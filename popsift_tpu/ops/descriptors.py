@@ -64,32 +64,24 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
     (matching the reference's ``tile = ((iy*4+ix)*8)`` layout,
     s_desc_loop.cu:29).
     """
-    pad = win
-    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
-    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
+    from ..kernels.windows import aligned_window_dims, gather_windows_aligned
+
+    win_y, win_x = aligned_window_dims(win)
+    pad_y, pad_x = win_y, win_x
+    magp = jnp.pad(mag, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+    thetap = jnp.pad(theta, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     L = mag.shape[0]
     offs = jnp.asarray(_tile_offsets())
 
-    def one_slot(x, y, l, sig, a, vld):
+    def one_slot(mw, tw, x, y, x0, y0, sig, a, vld):
         sbp = jnp.abs(DESC_MAGNIFY * sig)
         ok = vld & (sbp > 0.0)
         safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
         cos_t = jnp.cos(a)
         sin_t = jnp.sin(a)
 
-        rx = jnp.round(x).astype(jnp.int32)
-        ry = jnp.round(y).astype(jnp.int32)
-        x0 = rx - win // 2
-        y0 = ry - win // 2
-        lp = jnp.clip(l, 0, L - 1)
-
-        mw = jax.lax.dynamic_slice(magp, (lp, y0 + pad, x0 + pad),
-                                   (1, win, win))[0]
-        tw = jax.lax.dynamic_slice(thetap, (lp, y0 + pad, x0 + pad),
-                                   (1, win, win))[0]
-
-        jj = x0 + jnp.arange(win, dtype=jnp.int32)
-        ii = y0 + jnp.arange(win, dtype=jnp.int32)
+        jj = x0 + jnp.arange(win_x, dtype=jnp.int32)
+        ii = y0 + jnp.arange(win_y, dtype=jnp.int32)
         dxf = jj.astype(jnp.float32)[None, :] - x       # (win, win) via bc
         dyf = ii.astype(jnp.float32)[:, None] - y
 
@@ -117,19 +109,36 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
         bins = jnp.arange(8, dtype=jnp.int32)
         a_oh = ((fo0[..., None] == bins) * (1.0 - do0)[..., None]
                 + (fo1[..., None] == bins) * do0[..., None])
-        A = (wgt[..., None] * a_oh).reshape(win * win, 8)
+        p = win_y * win_x
+        A = (wgt[..., None] * a_oh).reshape(p, 8)
 
         # spatial triangle weights per tile, strict |n| < 1 via max(0, .)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[..., None] - offs))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[..., None] - offs))
-        wx = wx.reshape(win * win, 4)
-        wy = wy.reshape(win * win, 4)
+        wx = wx.reshape(p, 4)
+        wy = wy.reshape(p, 4)
 
         # (p,4)x(p,8) -> (p,32); (p,4)^T @ (p,32) -> (4,32) = 4x4x8
-        E = (wx[:, :, None] * A[:, None, :]).reshape(win * win, 32)
+        E = (wx[:, :, None] * A[:, None, :]).reshape(p, 32)
         D = jnp.einsum("pt,pq->tq", wy, E,
                        preferred_element_type=jnp.float32)
         return D.reshape(128)
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        # batched window DMA (Pallas on TPU), tile-aligned origins
+        mw, ya, xa = gather_windows_aligned(magp, lp, y0 + pad_y,
+                                            x0 + pad_x, win)
+        tw, _, _ = gather_windows_aligned(thetap, lp, y0 + pad_y,
+                                          x0 + pad_x, win)
+        x0 = xa - pad_x
+        y0 = ya - pad_y
+        return jax.vmap(one_slot)(mw, tw, x, y, x0, y0, sig, a, vld)
 
     cap = xpos.shape[0]
     n_chunks = -(-cap // chunk)
@@ -141,7 +150,7 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
     args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
             padv(valid, False))
     args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
-    out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), args)
+    out = jax.lax.map(chunk_fn, args)
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 

@@ -40,13 +40,6 @@ def ori_window_size(sigma0: float, levels: int) -> int:
     return (win + 7) // 8 * 8
 
 
-def _gather_windows(field: jnp.ndarray, lpos, y0, x0, win: int):
-    """Batched (win, win) window gather from a (L, H+2P, W+2P) zero-padded
-    field; start offsets are pre-shifted by the pad P."""
-    def one(l, y, x):
-        return jax.lax.dynamic_slice(field, (l, y, x), (1, win, win))[0]
-
-    return jax.vmap(one)(lpos, y0, x0)
 
 
 def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
@@ -58,9 +51,12 @@ def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
 
 
 def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
-                w: int, h: int, win: int, pad: int, n_levels: int):
+                w: int, h: int, win: int, pad_y: int, pad_x: int,
+                n_levels: int):
     """Gradient-magnitude orientation histograms for a batch of slots
     (ori_par's first phase, s_orientation.cu:104-162)."""
+    from ..kernels.windows import aligned_window_dims, gather_windows_aligned
+
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
     rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
@@ -69,11 +65,17 @@ def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
     y0 = ry - half
     lp = jnp.clip(lpos, 0, n_levels - 1)
 
-    mw = _gather_windows(magp, lp, y0 + pad, x0 + pad, win)    # (c,win,win)
-    tw = _gather_windows(thetap, lp, y0 + pad, x0 + pad, win)
+    win_y, win_x = aligned_window_dims(win)
+    mw, ya, xa = gather_windows_aligned(magp, lp, y0 + pad_y, x0 + pad_x,
+                                        win)
+    tw, _, _ = gather_windows_aligned(thetap, lp, y0 + pad_y, x0 + pad_x,
+                                      win)
+    # unpadded-coordinate origins of the aligned windows
+    x0 = xa - pad_x
+    y0 = ya - pad_y
 
-    jj = x0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
-    ii = y0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    jj = x0[:, None] + jnp.arange(win_x, dtype=jnp.int32)[None, :]
+    ii = y0[:, None] + jnp.arange(win_y, dtype=jnp.int32)[None, :]
 
     # xmin/xmax gates (s_orientation.cu:114-117)
     xmin = jnp.maximum(1, rx - rad)
@@ -101,8 +103,8 @@ def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
     bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
 
     c = weight.shape[0]
-    wflat = weight.reshape(c, win * win)
-    bflat = bidx.reshape(c, win * win)
+    wflat = weight.reshape(c, win_y * win_x)
+    bflat = bidx.reshape(c, win_y * win_x)
     # histogram via per-bin masked sums (36 fused passes; avoids a giant
     # one-hot tensor)
     cols = []
@@ -125,9 +127,11 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     peaks in descending-strength order (the CUDA kernel writes them in
     bitonic-sorted order too, s_orientation.cu:239-248).
     """
-    pad = win
-    magp = jnp.pad(mag, ((0, 0), (pad, pad), (pad, pad)))
-    thetap = jnp.pad(theta, ((0, 0), (pad, pad), (pad, pad)))
+    from ..kernels.windows import aligned_window_dims
+    win_y, win_x = aligned_window_dims(win)
+    pad_y, pad_x = win_y, win_x
+    magp = jnp.pad(mag, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+    thetap = jnp.pad(theta, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     n_levels = mag.shape[0]
 
     cap = xpos.shape[0]
@@ -143,7 +147,8 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
 
     hist = jax.lax.map(
-        lambda c: _histograms(magp, thetap, *c, w, h, win, pad, n_levels),
+        lambda c: _histograms(magp, thetap, *c, w, h, win, pad_y, pad_x,
+                              n_levels),
         args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
 
     sm = smooth_histogram_vlfeat(hist)

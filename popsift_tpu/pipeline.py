@@ -45,10 +45,8 @@ class AllocTest(enum.Enum):
 
 # The CUDA limits were device texture limits (popsift.cpp:168-196); on TPU
 # the practical constraint is HBM for the octave-0 stack and its derived
-# fields. 2^15 matches common CUDA linear-texture width limits and keeps the
-# largest octave under a few GB.
-MAX_INPUT_DIM = 1 << 15
-MAX_OCTAVE0_PIXELS = 1 << 26  # 64 MPix after upscaling
+# fields (see popsift_tpu.device).
+from .device import MAX_INPUT_DIM, MAX_OCTAVE0_PIXELS  # noqa: E402
 
 
 class SiftJob:

@@ -65,29 +65,34 @@ class StagedExtractor:
         self._stage1b = {}
         self._stage2 = {}
         self._stage3 = {}
+        self._last_buckets = None
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
         """Pyramid + DoG + dense detection + candidate compaction +
         gradient fields. Returns candidate buffers and their counts (one
         readback sizes the refinement stage)."""
+        from .tracing import scope
         plan = self.plan
-        stacks = ops_pyr.build_pyramid(
-            image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
-            plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
-        dogs = [ops_pyr.make_dog(s) for s in stacks]
+        with scope("pyramid"):
+            stacks = ops_pyr.build_pyramid(
+                image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
+                plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
+            dogs = [ops_pyr.make_dog(s) for s in stacks]
         cands = []
         cand_counts = []
         cand_overflows = []
-        for o in range(plan.octaves):
-            mask = ops_ext.detect_candidates(
-                dogs[o], plan.sift_mode, plan.peak_threshold)
-            cx, cy, cz, cvalid, ccount, coverflow = ops_ext.compact_mask(
-                mask, plan.cand_caps[o])
-            cands.append((cx, cy, cz, cvalid))
-            cand_counts.append(ccount)
-            cand_overflows.append(coverflow)
-        grads = [ops_grad.gradient_fields(s) for s in stacks]
+        with scope("detect"):
+            for o in range(plan.octaves):
+                mask = ops_ext.detect_candidates(
+                    dogs[o], plan.sift_mode, plan.peak_threshold)
+                cx, cy, cz, cvalid, ccount, coverflow = \
+                    ops_ext.compact_mask(mask, plan.cand_caps[o])
+                cands.append((cx, cy, cz, cvalid))
+                cand_counts.append(ccount)
+                cand_overflows.append(coverflow)
+        with scope("gradients"):
+            grads = [ops_grad.gradient_fields(s) for s in stacks]
         return dict(stacks=stacks, dogs=dogs, grads=grads, cands=cands,
                     cand_counts=jnp.stack(cand_counts),
                     cand_overflows=jnp.stack(cand_overflows))
@@ -222,10 +227,42 @@ class StagedExtractor:
     def extract(self, image) -> dict[str, Any]:
         """Run the staged pipeline.  ``image`` is a (H, W) f32 [0,1] array
         (numpy or device).  Returns the same result pytree layout as
-        :func:`popsift_tpu.extract.extract_pipeline`."""
+        :func:`popsift_tpu.extract.extract_pipeline`.
+
+        Bucket selection is **optimistic**: the previous image's bucket
+        sizes are reused so all stages dispatch back-to-back without
+        waiting on intermediate count readbacks (host<->device syncs are
+        expensive); a single readback at the end validates the counts and
+        only on overflow are the affected stages redone with exact
+        buckets.  Steady-state streams (video, SfM bursts) therefore pay
+        one sync per image."""
         plan = self.plan
         s1 = self._stage1a(image)
 
+        guess = self._last_buckets
+        if guess is not None:
+            cks, ks, bs = guess
+            exts, counts_dev, overflows_dev = self._get_stage1b(cks)(
+                s1["dogs"], s1["cands"])
+            oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], exts)
+            descs = self._get_stage3((ks, bs))(
+                s1["grads"], s1["stacks"], exts, oris)
+            # single validation readback
+            cand_counts = np.asarray(s1["cand_counts"])
+            counts = np.asarray(counts_dev)
+            ori_counts = np.asarray(ori_counts_dev)
+            ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
+                  and all(int(c) <= ks[o] for o, c in enumerate(counts))
+                  and all(int(c) <= bs[o]
+                          for o, c in enumerate(ori_counts)))
+            if ok:
+                s1 = dict(s1, exts=exts, overflows=overflows_dev)
+                self._update_buckets(cand_counts, counts, ori_counts,
+                                     exts)
+                return self._package(s1, oris, descs, counts, ori_counts,
+                                     ks, bs)
+
+        # exact path (first image or bucket overflow)
         cand_counts = np.asarray(s1["cand_counts"])  # readback 1
         cks = tuple(min(bucket(int(c)), plan.cand_caps[o])
                     for o, c in enumerate(cand_counts))
@@ -239,13 +276,38 @@ class StagedExtractor:
                    for o, c in enumerate(counts))
 
         oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], s1["exts"])
-        ori_counts = np.asarray(ori_counts_dev)  # second host readback
+        ori_counts = np.asarray(ori_counts_dev)  # readback 3
         bs = tuple(min(bucket(int(c)), plan.ori_caps[o])
                    for o, c in enumerate(ori_counts))
 
         descs = self._get_stage3((ks, bs))(
             s1["grads"], s1["stacks"], s1["exts"], oris)
+        self._update_buckets(cand_counts, counts, ori_counts, exts)
+        return self._package(s1, oris, descs, counts, ori_counts, ks, bs)
 
+    def _update_buckets(self, cand_counts, counts, ori_counts, exts):
+        """Adapt the optimistic buckets to the counts just observed (with
+        one-bucket headroom so small fluctuations don't trigger redos)."""
+        plan = self.plan
+        cks = tuple(min(bucket(2 * int(c)), plan.cand_caps[o])
+                    for o, c in enumerate(cand_counts))
+        # the next run's ext buffer size follows from the next cks
+        def ext_buf(o):
+            if cks[o] == 0:
+                return plan.ext_caps[o]
+            return min(plan.ext_caps[o], max(cks[o], 128))
+
+        ks = tuple(min(bucket(2 * int(c)), ext_buf(o))
+                   for o, c in enumerate(counts))
+        bs = tuple(min(bucket(2 * int(c)), plan.ori_caps[o])
+                   for o, c in enumerate(ori_counts))
+        self._last_buckets = (cks, ks, bs)
+
+    def _package(self, s1, oris, descs, counts, ori_counts,
+                 ks, bs) -> dict[str, Any]:
+        """Assemble the result pytree (layout-compatible with
+        extract_pipeline's output)."""
+        plan = self.plan
         out: dict[str, Any] = {"octaves": []}
         for o in range(plan.octaves):
             e = s1["exts"][o]

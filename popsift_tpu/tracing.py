@@ -1,0 +1,72 @@
+"""Tracing / profiling utilities.
+
+The reference marks pipeline phases with NVTX ranges, compile-gated by
+PopSift_USE_NVTX_PROFILING (/root/reference/src/popsift/popsift.h:26-31,
+nvtx calls in popsift.cpp:441-452, sift_pyramid.cu:288-319).  The TPU
+analogs:
+
+* :func:`scope` — ``jax.named_scope`` annotations at the same cut points
+  (upload, pyramid, detection, orientation, descriptors, download); they
+  appear in XLA HLO names and in profiler traces,
+* :func:`trace` — a ``jax.profiler`` trace context producing
+  Perfetto/TensorBoard traces; enable ambiently with
+  ``POPSIFT_TPU_TRACE=<dir>``,
+* :class:`BriefDuration` — the event-pair wall-clock timer analog
+  (debug_macros.h:84-117).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+
+import jax
+
+
+def scope(name: str):
+    """Named scope for pipeline phases (NVTX range analog)."""
+    return jax.named_scope(name)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | None = None):
+    """Profiler trace context. If ``log_dir`` is None, uses the
+    POPSIFT_TPU_TRACE env var; no-op when neither is set."""
+    log_dir = log_dir or os.environ.get("POPSIFT_TPU_TRACE")
+    if not log_dir:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+class BriefDuration:
+    """Wall-clock phase timer (BriefDuration, debug_macros.h:84-117)."""
+
+    def __init__(self, label: str, stream=None) -> None:
+        self._label = label
+        self._stream = stream or sys.stderr
+        self._t0 = None
+        self._elapsed = 0.0
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> None:
+        if self._t0 is not None:
+            self._elapsed += time.perf_counter() - self._t0
+            self._t0 = None
+
+    def report(self) -> None:
+        print(f"{self._label}: {self._elapsed * 1e3:.3f} ms",
+              file=self._stream)
+
+    def __enter__(self) -> "BriefDuration":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+        self.report()
