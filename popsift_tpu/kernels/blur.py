@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fused separable Gaussian blur (H + V in one pass).
+
+The XLA shift-and-add formulation of :func:`popsift_tpu.ops.pyramid.blur_1d`
+round-trips every level through HBM twice (horizontal pass, vertical pass).
+This kernel processes row blocks: DMA a (BH + 2*halo, W) slab of the
+edge-padded source into VMEM, apply the horizontal taps (optionally scaled,
+for the x255 after the input-image pass, s_pyramid_build_ra.cu:54), then
+the vertical taps, and write the (BH, W) result — one HBM read + one write
+per level.  It is the TPU analog of the reference's fused octave kernels
+(s_pyramid_fixed.cu:69-120) generalized to arbitrary spans.
+
+Alignment: the row halo is the vertical span rounded up to 8 (sublane
+tile) and block offsets step by BH (multiple of 8); the horizontal halo
+lives inside the pre-padded, lane-aligned width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _blur_kernel(taps_h, span_h, taps_v, span_v, hscale,
+                 bh, w, pad_x, halo,
+                 src_ref, out_ref, slab, sems):
+    """Grid: (ceil(H/bh),). src is (Hp, Wp) edge-padded; out is (H, W)."""
+    i = pl.program_id(0)
+
+    rows = bh + 2 * halo
+    cp = pltpu.make_async_copy(
+        src_ref.at[pl.ds(pl.multiple_of(i * bh, 8), rows), :],
+        slab, sems)
+    cp.start()
+    cp.wait()
+
+    # horizontal taps (lane shifts within the padded width)
+    acc = slab[:, pad_x:pad_x + w] * taps_h[0]
+    for off in range(1, span_h):
+        acc = acc + (slab[:, pad_x - off:pad_x - off + w]
+                     + slab[:, pad_x + off:pad_x + off + w]) * taps_h[off]
+    if hscale != 1.0:
+        acc = acc * hscale
+
+    # vertical taps (sublane shifts within the slab)
+    out = acc[halo:halo + bh] * taps_v[0]
+    for off in range(1, span_v):
+        out = out + (acc[halo - off:halo - off + bh]
+                     + acc[halo + off:halo + off + bh]) * taps_v[off]
+
+    out_ref[...] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("taps_h", "span_h", "taps_v", "span_v", "hscale",
+                     "h", "w", "interpret"))
+def _sep_blur_pallas(padded, taps_h, span_h, taps_v, span_v, hscale,
+                     h: int, w: int, interpret: bool = False):
+    halo = _round8(span_v - 1)
+    pad_x = _round128(span_h - 1)
+    bh = 64 if h >= 64 else _round8(max(h, 8))
+    grid = (-(-h // bh),)
+    h_pad = grid[0] * bh
+
+    rows = bh + 2 * halo
+    out = pl.pallas_call(
+        functools.partial(_blur_kernel, taps_h, span_h, taps_v, span_v,
+                          hscale, bh, w, pad_x, halo),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((bh, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, w + 2 * pad_x), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(padded)
+    return out[:h]
+
+
+def sep_blur_fused(img: jnp.ndarray,
+                   taps_h: np.ndarray, span_h: int,
+                   taps_v: np.ndarray | None = None,
+                   span_v: int | None = None,
+                   hscale: float = 1.0) -> jnp.ndarray:
+    """Fused separable blur of a (H, W) image with edge ("clamp") padding.
+
+    ``out = blur_v(hscale * blur_h(img))``; taps_v defaults to taps_h.
+    Dispatches to the Pallas kernel on TPU, or composes the XLA
+    shift-and-add blurs elsewhere (identical numerics).
+    """
+    if taps_v is None:
+        taps_v, span_v = taps_h, span_h
+    span_h = int(span_h)
+    span_v = int(span_v)
+    h, w = img.shape
+
+    if jax.default_backend() != "tpu" or h < 8 \
+            or (span_h <= 1 and span_v <= 1):
+        from ..ops.pyramid import blur_1d
+        out = blur_1d(img, np.asarray(taps_h), span_h, axis=-1)
+        if hscale != 1.0:
+            out = out * hscale
+        return blur_1d(out, np.asarray(taps_v), span_v, axis=-2)
+
+    th = tuple(float(t) for t in np.asarray(taps_h)[:max(span_h, 1)])
+    tv = tuple(float(t) for t in np.asarray(taps_v)[:max(span_v, 1)])
+    halo = _round8(span_v - 1)
+    pad_x = _round128(span_h - 1)
+    bh = 64 if h >= 64 else _round8(max(h, 8))
+    h_pad = (-(-h // bh)) * bh
+    w128 = _round128(w)
+    # right-edge extra padding keeps lanes 128-aligned; the surplus columns
+    # see edge-replicated input so the valid region is exact
+    padded = jnp.pad(img, ((halo, halo + (h_pad - h)),
+                           (pad_x, pad_x + (w128 - w))),
+                     mode="edge")
+    return _sep_blur_pallas(padded, th, span_h, tv, span_v, float(hscale),
+                            h, w128)[:, :w]

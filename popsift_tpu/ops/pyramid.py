@@ -114,6 +114,12 @@ def sep_blur(img: jnp.ndarray, half_taps: np.ndarray, span: int) -> jnp.ndarray:
     return blur_1d(out, half_taps, span, axis=-2)
 
 
+def _fused(img, taps_h, span_h, taps_v=None, span_v=None, hscale=1.0):
+    """Fused separable blur (Pallas on TPU, XLA elsewhere)."""
+    from ..kernels.blur import sep_blur_fused
+    return sep_blur_fused(img, taps_h, span_h, taps_v, span_v, hscale)
+
+
 def downscale_by_2(level: jnp.ndarray) -> jnp.ndarray:
     """get_by_2_pick_every_second (s_pyramid_build.cu:50-71): output pixel
     (x,y) = source (2x, 2y).  ceil-halving dims come out naturally from the
@@ -187,9 +193,8 @@ def build_pyramid(image: jnp.ndarray,
                 base = resample_input(image, h, w, tshift)
                 for lvl in range(L):
                     t = gauss.abs_o0
-                    out = blur_1d(base, t.filter[lvl], t.span[lvl], axis=-2)
-                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-1)
-                    lvls.append(out * 255.0)
+                    lvls.append(_fused(base, t.filter[lvl], t.span[lvl],
+                                       hscale=255.0))
             else:
                 # level 0 by downscale (or direct-scaling), then levels 1+
                 # from level 0 with abs_oN (absoluteTexAddress variant)
@@ -205,19 +210,15 @@ def build_pyramid(image: jnp.ndarray,
                 lvls.append(lvl0)
                 for lvl in range(1, L):
                     t = gauss.abs_oN
-                    out = blur_1d(lvl0, t.filter[lvl], t.span[lvl], axis=-2)
-                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-1)
-                    lvls.append(out)
+                    lvls.append(_fused(lvl0, t.filter[lvl], t.span[lvl]))
         elif gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
             # all levels directly from the input image with abs_o0
             # (s_pyramid_build.cu:543-546)
             base = resample_input(image, h, w, shift)
             for lvl in range(L):
                 t = gauss.abs_o0
-                out = blur_1d(base, t.filter[lvl], t.span[lvl], axis=-1)
-                out = out * 255.0
-                out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-2)
-                lvls.append(out)
+                lvls.append(_fused(base, t.filter[lvl], t.span[lvl],
+                                   hscale=255.0))
         else:
             for lvl in range(L):
                 if lvl == 0:
@@ -225,20 +226,19 @@ def build_pyramid(image: jnp.ndarray,
                         # horiz_from_input + vert with inc[0]
                         # (s_pyramid_build.cu:554-555)
                         base = resample_input(image, h, w, shift)
-                        out = blur_1d(base, gauss.dd.filter[0],
-                                      gauss.dd.span[0], axis=-1) * 255.0
-                        out = blur_1d(out, gauss.inc.filter[0],
-                                      gauss.inc.span[0], axis=-2)
-                        lvls.append(out)
+                        lvls.append(_fused(
+                            base, gauss.dd.filter[0], gauss.dd.span[0],
+                            gauss.inc.filter[0], gauss.inc.span[0],
+                            hscale=255.0))
                     elif direct:
                         # level 0 of octave o from the input image with
                         # dd[octave] (s_pyramid_build.cu:506-507)
                         base = resample_input(image, h, w, shift)
-                        out = blur_1d(base, gauss.dd.filter[octave],
-                                      gauss.dd.span[octave], axis=-1) * 255.0
-                        out = blur_1d(out, gauss.inc.filter[0],
-                                      gauss.inc.span[0], axis=-2)
-                        lvls.append(out)
+                        lvls.append(_fused(
+                            base, gauss.dd.filter[octave],
+                            gauss.dd.span[octave],
+                            gauss.inc.filter[0], gauss.inc.span[0],
+                            hscale=255.0))
                     else:
                         # downscale from previous octave's level L-3
                         # (s_pyramid_build.cu:559-562)
@@ -247,10 +247,8 @@ def build_pyramid(image: jnp.ndarray,
                         lvls.append(down[:h, :w])
                 else:
                     t = gauss.inc
-                    out = blur_1d(lvls[lvl - 1], t.filter[lvl],
-                                  t.span[lvl], axis=-1)
-                    out = blur_1d(out, t.filter[lvl], t.span[lvl], axis=-2)
-                    lvls.append(out)
+                    lvls.append(_fused(lvls[lvl - 1], t.filter[lvl],
+                                       t.span[lvl]))
 
         stacks.append(jnp.stack(lvls))
     return stacks

@@ -286,20 +286,33 @@ class StagedExtractor:
         return self._package(s1, oris, descs, counts, ori_counts, ks, bs)
 
     def _update_buckets(self, cand_counts, counts, ori_counts, exts):
-        """Adapt the optimistic buckets to the counts just observed (with
-        one-bucket headroom so small fluctuations don't trigger redos)."""
+        """Adapt the optimistic buckets to the observed counts with
+        hysteresis: keep the current bucket while the count fits (stable
+        bucket tuples = stable jit cache); grow with 2x headroom on
+        overflow; shrink only when the count drops far below (< 1/8) so
+        oscillating scenes don't churn compiles."""
         plan = self.plan
-        cks = tuple(min(bucket(2 * int(c)), plan.cand_caps[o])
+        last = self._last_buckets or ((0,) * plan.octaves,) * 3
+
+        def step(cur: int, count: int, cap: int) -> int:
+            count = int(count)
+            if count > cur:
+                return min(bucket(2 * count), cap)
+            if cur > 128 and count * 8 < cur:
+                return min(bucket(2 * count), cap) if count else 0
+            return cur
+
+        cks = tuple(step(last[0][o], c, plan.cand_caps[o])
                     for o, c in enumerate(cand_counts))
-        # the next run's ext buffer size follows from the next cks
+
         def ext_buf(o):
             if cks[o] == 0:
                 return plan.ext_caps[o]
             return min(plan.ext_caps[o], max(cks[o], 128))
 
-        ks = tuple(min(bucket(2 * int(c)), ext_buf(o))
+        ks = tuple(min(step(last[1][o], c, plan.ext_caps[o]), ext_buf(o))
                    for o, c in enumerate(counts))
-        bs = tuple(min(bucket(2 * int(c)), plan.ori_caps[o])
+        bs = tuple(step(last[2][o], c, plan.ori_caps[o])
                    for o, c in enumerate(ori_counts))
         self._last_buckets = (cks, ks, bs)
 
