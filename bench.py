@@ -39,42 +39,38 @@ def make_1080p_image(seed: int = 0) -> np.ndarray:
 
 
 def main() -> int:
-    import jax
-    import jax.numpy as jnp
-
     from popsift_tpu.config import Config
-    from popsift_tpu.extract import get_extractor, normalize_input
+    from popsift_tpu.pipeline import PopSift
 
     h, w = 1080, 1920
     config = Config()
 
-    img = make_1080p_image()
-    fn, plan = get_extractor(config, w, h)
+    images = [make_1080p_image(seed) for seed in range(4)]
 
-    norm = jnp.asarray(normalize_input(img))
-    norm = jax.device_put(norm)
+    with PopSift(config, workers=2) as ps:
+        # warm up: compiles + optimistic-bucket adaptation (2 passes)
+        t0 = time.time()
+        for _ in range(2):
+            jobs = [ps.enqueue(w, h, img) for img in images]
+            feats = [j.get() for j in jobs]
+        print(f"# warmup (compile) {time.time() - t0:.1f}s "
+              f"features={[f.get_feature_count() for f in feats]}",
+              file=sys.stderr)
 
-    # compile + warmup
-    t0 = time.time()
-    out = fn(norm)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    counts = [int(od["count"]) for od in out["octaves"]]
-    oris = [int(od["ori_count"]) for od in out["octaves"]]
-    print(f"# compile {compile_s:.1f}s ext={sum(counts)} "
-          f"ori={sum(oris)} per-octave={counts}", file=sys.stderr)
-
-    # timed runs (device-side extraction latency)
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(norm)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        # timed: pipelined throughput, enqueue-all-then-drain like the
+        # reference application (main.cpp:305-325)
+        n_jobs = 12
+        t0 = time.time()
+        jobs = [ps.enqueue(w, h, images[i % len(images)])
+                for i in range(n_jobs)]
+        total = 0
+        for j in jobs:
+            total += j.get().get_feature_count()
+        dt = (time.time() - t0) / n_jobs
 
     fps = 1.0 / dt
-    print(f"# {dt * 1e3:.1f} ms/image -> {fps:.2f} images/s",
-          file=sys.stderr)
+    print(f"# {dt * 1e3:.1f} ms/image -> {fps:.2f} images/s "
+          f"({total} features total)", file=sys.stderr)
     print(json.dumps({
         "metric": "sift_extraction_1080p_fps",
         "value": round(fps, 3),

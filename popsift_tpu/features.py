@@ -84,21 +84,40 @@ class FeaturesBase:
 
 
 class FeaturesHost(FeaturesBase):
-    """Host-side features: numpy SoA + iteration (features.h:69-104)."""
+    """Host-side features: numpy SoA + iteration (features.h:69-104).
+
+    Stored as structure-of-arrays; :class:`Feature` objects are
+    materialised lazily on access so bulk extraction pays no per-keypoint
+    Python cost."""
 
     def __init__(self, features: list[Feature] | None = None,
-                 descriptors: np.ndarray | None = None) -> None:
+                 descriptors: np.ndarray | None = None,
+                 soa: dict | None = None) -> None:
         super().__init__()
-        self._features = features or []
         self._descriptors = (descriptors if descriptors is not None
                              else np.zeros((0, 128), np.float32))
-        self._num_ext = len(self._features)
         self._num_ori = int(self._descriptors.shape[0])
-        for f in self._features:
-            f._descriptors = self._descriptors
+        if soa is not None:
+            self._soa = soa
+        else:
+            features = features or []
+            self._soa = dict(
+                xpos=np.array([f.xpos for f in features], np.float32),
+                ypos=np.array([f.ypos for f in features], np.float32),
+                sigma=np.array([f.sigma for f in features], np.float32),
+                num_ori=np.array([f.num_ori for f in features], np.int32),
+                orientation=(np.stack([f.orientation for f in features])
+                             if features else np.zeros((0, 4), np.float32)),
+                desc_idx=(np.stack([f.desc_idx for f in features])
+                          if features else
+                          np.zeros((0, ORIENTATION_MAX_COUNT), np.int64)),
+                debug_octave=np.array([f.debug_octave for f in features],
+                                      np.int32),
+            )
+        self._num_ext = int(self._soa["xpos"].shape[0])
 
     def get_features(self) -> list[Feature]:
-        return self._features
+        return [self[i] for i in range(self._num_ext)]
 
     def get_descriptors(self) -> np.ndarray:
         return self._descriptors
@@ -110,13 +129,20 @@ class FeaturesHost(FeaturesBase):
         return self._num_ext
 
     def __iter__(self) -> Iterator[Feature]:
-        return iter(self._features)
+        for i in range(self._num_ext):
+            yield self[i]
 
     def __getitem__(self, i: int) -> Feature:
-        return self._features[i]
+        s = self._soa
+        return Feature(
+            xpos=float(s["xpos"][i]), ypos=float(s["ypos"][i]),
+            sigma=float(s["sigma"][i]), num_ori=int(s["num_ori"][i]),
+            orientation=s["orientation"][i], desc_idx=s["desc_idx"][i],
+            debug_octave=int(s["debug_octave"][i]),
+            _descriptors=self._descriptors)
 
     def print(self, ostr, write_as_uchar: bool = False) -> None:
-        for f in self._features:
+        for f in self:
             f.print(ostr, write_as_uchar)
 
 
@@ -177,8 +203,8 @@ def assemble_features(result: dict, upscale_factor: float) -> FeaturesHost:
     multiply x/y/sigma by 2^(octave - upscale_factor); features are grouped
     by octave in ascending order like the reference's global extremum array.
     """
-    feats: list[Feature] = []
     desc_blocks: list[np.ndarray] = []
+    xs_l, ys_l, sg_l, nm_l, or_l, di_l, oc_l = [], [], [], [], [], [], []
     desc_base = 0
 
     for octave, od in enumerate(result["octaves"]):
@@ -189,36 +215,42 @@ def assemble_features(result: dict, upscale_factor: float) -> FeaturesHost:
         if count == 0:
             desc_base += ori_count
             continue
-        scale = 2.0 ** (octave - upscale_factor)
-        xs = np.asarray(od["x"][:count]) * scale
-        ys = np.asarray(od["y"][:count]) * scale
-        sig = np.asarray(od["sigma"][:count]) * scale
-        nums = np.asarray(od["num_ori"][:count])
-        oris = np.asarray(od["orientations"][:count])
-        idx0 = np.asarray(od["idx_ori"][:count])
+        scale = np.float32(2.0 ** (octave - upscale_factor))
+        xs_l.append(np.asarray(od["x"][:count]) * scale)
+        ys_l.append(np.asarray(od["y"][:count]) * scale)
+        sg_l.append(np.asarray(od["sigma"][:count]) * scale)
+        nums = np.asarray(od["num_ori"][:count]).astype(np.int64)
+        idx0 = np.asarray(od["idx_ori"][:count]).astype(np.int64)
+        or_l.append(np.asarray(od["orientations"][:count]))
 
-        for i in range(count):
-            n = int(nums[i])
-            didx = np.full(ORIENTATION_MAX_COUNT, -1, np.int64)
-            for k in range(n):
-                gi = desc_base + int(idx0[i]) + k
-                didx[k] = gi
-            feats.append(Feature(
-                xpos=float(xs[i]), ypos=float(ys[i]), sigma=float(sig[i]),
-                num_ori=n, orientation=oris[i].copy(), desc_idx=didx,
-                debug_octave=octave))
+        # descriptor indices: base + idx_ori + k where k < num_ori, clipped
+        # to the descriptors actually produced (orientation-capacity clamp)
+        k = np.arange(ORIENTATION_MAX_COUNT, dtype=np.int64)[None, :]
+        didx = desc_base + idx0[:, None] + k
+        in_range = (k < nums[:, None]) & (didx < desc_base + ori_count)
+        didx = np.where(in_range, didx, -1)
+        di_l.append(didx)
+        nm_l.append(in_range.sum(axis=1).astype(np.int32))
+        oc_l.append(np.full(count, octave, np.int32))
         desc_base += ori_count
 
     descriptors = (np.concatenate(desc_blocks, axis=0)
                    if desc_blocks else np.zeros((0, 128), np.float32))
-    # features whose descriptors were clipped by the per-octave orientation
-    # capacity keep desc_idx == -1 entries pointing nowhere; trim num_ori
-    for f in feats:
-        while f.num_ori > 0 and (f.desc_idx[f.num_ori - 1] < 0
-                                 or f.desc_idx[f.num_ori - 1]
-                                 >= descriptors.shape[0]):
-            f.num_ori -= 1
-    return FeaturesHost(feats, descriptors)
+
+    def cat(parts, empty_shape, dtype):
+        return (np.concatenate(parts, axis=0) if parts
+                else np.zeros(empty_shape, dtype))
+
+    soa = dict(
+        xpos=cat(xs_l, (0,), np.float32),
+        ypos=cat(ys_l, (0,), np.float32),
+        sigma=cat(sg_l, (0,), np.float32),
+        num_ori=cat(nm_l, (0,), np.int32),
+        orientation=cat(or_l, (0, ORIENTATION_MAX_COUNT), np.float32),
+        desc_idx=cat(di_l, (0, ORIENTATION_MAX_COUNT), np.int64),
+        debug_octave=cat(oc_l, (0,), np.int32),
+    )
+    return FeaturesHost(soa=soa, descriptors=descriptors)
 
 
 def assemble_features_dev(result: dict, upscale_factor: float) -> FeaturesDev:

@@ -46,19 +46,21 @@ def _blur_kernel(taps_h, span_h, taps_v, span_v, hscale,
     cp.start()
     cp.wait()
 
-    # horizontal taps (lane shifts within the padded width)
-    acc = slab[:, pad_x:pad_x + w] * taps_h[0]
-    for off in range(1, span_h):
-        acc = acc + (slab[:, pad_x - off:pad_x - off + w]
-                     + slab[:, pad_x + off:pad_x + off + w]) * taps_h[off]
-    if hscale != 1.0:
-        acc = acc * hscale
-
-    # vertical taps (sublane shifts within the slab)
-    out = acc[halo:halo + bh] * taps_v[0]
+    # vertical taps first: shrinks the working set from (rows, Wp) to
+    # (bh, Wp) before the horizontal pass (keeps unrolled-tap temporaries
+    # inside the VMEM budget)
+    acc = slab[halo:halo + bh, :] * taps_v[0]
     for off in range(1, span_v):
-        out = out + (acc[halo - off:halo - off + bh]
-                     + acc[halo + off:halo + off + bh]) * taps_v[off]
+        acc = acc + (slab[halo - off:halo - off + bh, :]
+                     + slab[halo + off:halo + off + bh, :]) * taps_v[off]
+
+    # horizontal taps (lane shifts within the padded width)
+    out = acc[:, pad_x:pad_x + w] * taps_h[0]
+    for off in range(1, span_h):
+        out = out + (acc[:, pad_x - off:pad_x - off + w]
+                     + acc[:, pad_x + off:pad_x + off + w]) * taps_h[off]
+    if hscale != 1.0:
+        out = out * hscale
 
     out_ref[...] = out
 
@@ -71,7 +73,7 @@ def _sep_blur_pallas(padded, taps_h, span_h, taps_v, span_v, hscale,
                      h: int, w: int, interpret: bool = False):
     halo = _round8(span_v - 1)
     pad_x = _round128(span_h - 1)
-    bh = 64 if h >= 64 else _round8(max(h, 8))
+    bh = 32 if h >= 32 else _round8(max(h, 8))
     grid = (-(-h // bh),)
     h_pad = grid[0] * bh
 
@@ -120,7 +122,7 @@ def sep_blur_fused(img: jnp.ndarray,
     tv = tuple(float(t) for t in np.asarray(taps_v)[:max(span_v, 1)])
     halo = _round8(span_v - 1)
     pad_x = _round128(span_h - 1)
-    bh = 64 if h >= 64 else _round8(max(h, 8))
+    bh = 32 if h >= 32 else _round8(max(h, 8))
     h_pad = (-(-h // bh)) * bh
     w128 = _round128(w)
     # right-edge extra padding keeps lanes 128-aligned; the surplus columns

@@ -105,7 +105,12 @@ class PopSift:
     def __init__(self, config: Config | None = None,
                  mode: ProcessingMode = ProcessingMode.EXTRACTING,
                  imode: ImageMode = ImageMode.BYTE,
-                 device: int = 0) -> None:
+                 device: int = 0,
+                 workers: int = 1) -> None:
+        """``workers`` > 1 runs several extraction threads so device work
+        for job i+1 can be dispatched while job i waits on its host
+        readback (a TPU-specific extension; the reference's single
+        extraction thread maps to workers=1)."""
         import jax
         self._image_mode = ImageMode(imode)
         self._proc_mode = ProcessingMode(mode)
@@ -116,20 +121,22 @@ class PopSift:
 
         self._queue_stage1: queue.Queue = queue.Queue()
         self._queue_stage2: queue.Queue = queue.Queue()
-        # double-buffered staging pool: at most 2 images in flight
-        # (popsift.cpp:34-41)
-        self._pool = threading.Semaphore(2)
+        # staging pool: bounded images in flight (double buffering,
+        # popsift.cpp:34-41; grows with the worker count)
+        self._n_workers = max(1, int(workers))
+        self._pool = threading.Semaphore(1 + self._n_workers)
 
         self._thread_stage1 = threading.Thread(
             target=self._upload_images, daemon=True)
-        if self._proc_mode == ProcessingMode.EXTRACTING:
-            self._thread_stage2 = threading.Thread(
-                target=self._extract_download_loop, daemon=True)
-        else:
-            self._thread_stage2 = threading.Thread(
-                target=self._match_prepare_loop, daemon=True)
+        target = (self._extract_download_loop
+                  if self._proc_mode == ProcessingMode.EXTRACTING
+                  else self._match_prepare_loop)
+        self._threads_stage2 = [
+            threading.Thread(target=target, daemon=True)
+            for _ in range(self._n_workers)]
         self._thread_stage1.start()
-        self._thread_stage2.start()
+        for t in self._threads_stage2:
+            t.start()
 
     # ------------------------------------------------------------------
     def configure(self, config: Config, force: bool = False) -> bool:
@@ -148,7 +155,8 @@ class PopSift:
             return
         self._queue_stage1.put(None)
         self._thread_stage1.join()
-        self._thread_stage2.join()
+        for t in self._threads_stage2:
+            t.join()
         self._isInit = False
 
     def __del__(self) -> None:
@@ -236,7 +244,8 @@ class PopSift:
         while True:
             job = self._queue_stage1.get()
             if job is None:
-                self._queue_stage2.put(None)
+                for _ in range(self._n_workers):
+                    self._queue_stage2.put(None)
                 return
             self._pool.acquire()  # backpressure: 2 staged images max
             try:
