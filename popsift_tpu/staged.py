@@ -248,9 +248,8 @@ class StagedExtractor:
             descs = self._get_stage3((ks, bs))(
                 s1["grads"], s1["stacks"], exts, oris)
             # single validation readback
-            cand_counts = np.asarray(s1["cand_counts"])
-            counts = np.asarray(counts_dev)
-            ori_counts = np.asarray(ori_counts_dev)
+            cand_counts, counts, ori_counts = jax.device_get(
+                (s1["cand_counts"], counts_dev, ori_counts_dev))
             ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
                   and all(int(c) <= ks[o] for o, c in enumerate(counts))
                   and all(int(c) <= bs[o]
@@ -319,34 +318,45 @@ class StagedExtractor:
     def _package(self, s1, oris, descs, counts, ori_counts,
                  ks, bs) -> dict[str, Any]:
         """Assemble the result pytree (layout-compatible with
-        extract_pipeline's output)."""
+        extract_pipeline's output).
+
+        Everything needed on the host is fetched in ONE device_get — no
+        eager per-slice device ops (each would be a dispatch round-trip),
+        which matters a lot on remote-attached TPUs."""
         plan = self.plan
+
+        # one bulk transfer of all per-octave device outputs
+        device_tree = dict(
+            exts=[tuple(e) for e in s1["exts"]],
+            oris=oris,
+            descs=descs,
+            overflows=s1["overflows"],
+        )
+        host = jax.device_get(device_tree)
+
         out: dict[str, Any] = {"octaves": []}
         for o in range(plan.octaves):
-            e = s1["exts"][o]
+            xpos, ypos, lpos, sigma, cell, valid, _cnt, _ovf = \
+                host["exts"][o]
             k, b = ks[o], bs[o]
-            nums, angs, incl = oris[o]
+            nums, angs, incl = host["oris"][o]
             idx_ori = incl - nums
             ori_count = int(min(ori_counts[o], b))
             j = np.arange(b, dtype=np.int32)
             if b > 0:
-                fmap = np.searchsorted(np.asarray(incl), j, side="right") \
+                fmap = np.searchsorted(incl, j, side="right") \
                     .astype(np.int32)
                 fmap = np.clip(fmap, 0, max(k - 1, 0))
             else:
                 fmap = j
             out["octaves"].append(dict(
-                x=e.xpos[:k] if k else e.xpos[:0],
-                y=e.ypos[:k] if k else e.ypos[:0],
-                lpos=e.lpos[:k] if k else e.lpos[:0],
-                sigma=e.sigma[:k] if k else e.sigma[:0],
-                cell=e.cell[:k] if k else e.cell[:0],
-                valid=e.valid[:k] if k else e.valid[:0],
+                x=xpos[:k], y=ypos[:k], lpos=lpos[:k], sigma=sigma[:k],
+                cell=cell[:k], valid=valid[:k],
                 count=np.int32(min(int(counts[o]), k)),
-                overflow=np.asarray(s1["overflows"])[o],
+                overflow=host["overflows"][o],
                 num_ori=nums, orientations=angs, idx_ori=idx_ori,
-                desc=descs[o],
-                ori_valid=jnp.arange(b) < ori_count,
+                desc=host["descs"][o],
+                ori_valid=j < ori_count,
                 ori_count=np.int32(ori_count),
                 ori_overflow=np.int32(max(0, int(ori_counts[o]) - b)),
                 feat_map=fmap,
