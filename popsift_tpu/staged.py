@@ -65,6 +65,7 @@ class StagedExtractor:
         self._stage1b = {}
         self._stage2 = {}
         self._stage3 = {}
+        self._fused = {}
         self._last_buckets = None
 
     # ------------------------------------------------------------------
@@ -98,129 +99,148 @@ class StagedExtractor:
                     cand_overflows=jnp.stack(cand_overflows))
 
     # ------------------------------------------------------------------
-    def _get_stage1b(self, cks: tuple[int, ...]):
+    def _stage1b_body(self, dogs, cands, cks):
         """Refinement + extremum compaction (+ grid filter) at bucketed
         candidate counts."""
-        fn = self._stage1b.get(cks)
-        if fn is not None:
-            return fn
         plan = self.plan
-
-        def stage1b(dogs, cands):
-            exts = []
-            for o in range(plan.octaves):
-                ck = cks[o]
-                w, h = plan.dims[o]
-                if ck == 0:
-                    exts.append(ops_ext.compact_extrema(
-                        *(jnp.zeros((1,), t) for t in
-                          (jnp.float32, jnp.float32, jnp.int32,
-                           jnp.float32, jnp.int32)),
-                        jnp.zeros((1,), bool), plan.ext_caps[o]))
-                    continue
-                cx, cy, cz, cvalid = cands[o]
-                xn, yn, lpos, sigma, cell, ok = ops_ext.refine_extrema(
-                    dogs[o], cx[:ck], cy[:ck], cz[:ck] + 1, cvalid[:ck],
-                    plan.sift_mode, plan.sigma0, plan.sigma_k,
-                    plan.peak_threshold, plan.edge_limit,
-                    grid_w_div=w / plan.filter_grid_size,
-                    grid_h_div=h / plan.filter_grid_size,
-                    grid_width=plan.filter_grid_size)
+        exts = []
+        for o in range(plan.octaves):
+            ck = cks[o]
+            w, h = plan.dims[o]
+            if ck == 0:
                 exts.append(ops_ext.compact_extrema(
-                    xn, yn, lpos, sigma, cell, ok,
-                    min(plan.ext_caps[o], max(ck, 128))))
-            if plan.filter_max_extrema > 0:
-                from .ops import filtergrid as ops_fg
-                keeps = ops_fg.grid_filter_keep_masks(
-                    exts, plan.filter_max_extrema, plan.filter_grid_size,
-                    plan.grid_filter_mode)
-                exts = [ops_fg.recompact(e, k)
-                        for e, k in zip(exts, keeps)]
-            counts = jnp.stack([e.count for e in exts])
-            overflows = jnp.stack([e.overflow for e in exts])
-            return exts, counts, overflows
+                    *(jnp.zeros((1,), t) for t in
+                      (jnp.float32, jnp.float32, jnp.int32,
+                       jnp.float32, jnp.int32)),
+                    jnp.zeros((1,), bool), plan.ext_caps[o]))
+                continue
+            cx, cy, cz, cvalid = cands[o]
+            xn, yn, lpos, sigma, cell, ok = ops_ext.refine_extrema(
+                dogs[o], cx[:ck], cy[:ck], cz[:ck] + 1, cvalid[:ck],
+                plan.sift_mode, plan.sigma0, plan.sigma_k,
+                plan.peak_threshold, plan.edge_limit,
+                grid_w_div=w / plan.filter_grid_size,
+                grid_h_div=h / plan.filter_grid_size,
+                grid_width=plan.filter_grid_size)
+            exts.append(ops_ext.compact_extrema(
+                xn, yn, lpos, sigma, cell, ok,
+                min(plan.ext_caps[o], max(ck, 128))))
+        if plan.filter_max_extrema > 0:
+            from .ops import filtergrid as ops_fg
+            keeps = ops_fg.grid_filter_keep_masks(
+                exts, plan.filter_max_extrema, plan.filter_grid_size,
+                plan.grid_filter_mode)
+            exts = [ops_fg.recompact(e, k) for e, k in zip(exts, keeps)]
+        counts = jnp.stack([e.count for e in exts])
+        overflows = jnp.stack([e.overflow for e in exts])
+        return exts, counts, overflows
 
-        fn = jax.jit(stage1b)
-        self._stage1b[cks] = fn
+    def _stage2_body(self, grads, exts, ks):
+        plan = self.plan
+        outs = []
+        ori_counts = []
+        for o, k in enumerate(ks):
+            if k == 0:
+                outs.append((jnp.zeros((0,), jnp.int32),
+                             jnp.zeros((0, 4), jnp.float32),
+                             jnp.zeros((0,), jnp.int32)))
+                ori_counts.append(jnp.int32(0))
+                continue
+            w, h = plan.dims[o]
+            mag, theta = grads[o]
+            e = exts[o]
+            num_ori, oris = ops_ori.assign_orientations(
+                mag, theta, e.xpos[:k], e.ypos[:k], e.lpos[:k],
+                e.sigma[:k], e.valid[:k], w, h, plan.ori_win)
+            nums = jnp.where(e.valid[:k], num_ori, 0)
+            incl = jnp.cumsum(nums)
+            outs.append((nums, oris, incl))
+            ori_counts.append(incl[-1])
+        return outs, jnp.stack(ori_counts)
+
+    def _stage3_body(self, grads, stacks, exts, oris, ks, bs):
+        plan = self.plan
+        descs = []
+        for o in range(plan.octaves):
+            k, b = ks[o], bs[o]
+            if b == 0 or k == 0:
+                descs.append(jnp.zeros((0, 128), jnp.float32))
+                continue
+            w, h = plan.dims[o]
+            mag, theta = grads[o]
+            e = exts[o]
+            nums, angs, incl = oris[o]
+            idx_ori = incl - nums
+            j = jnp.arange(b, dtype=jnp.int32)
+            fmap = jnp.searchsorted(incl, j, side="right") \
+                .astype(jnp.int32)
+            ovalid = j < jnp.minimum(incl[-1], b)
+            ei = jnp.clip(fmap, 0, k - 1)
+            kk = jnp.clip(j - idx_ori[ei], 0, 3)
+            ang = angs[ei, kk]
+            ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
+            el, es = e.lpos[:k][ei], e.sigma[:k][ei]
+
+            from .extract import _dispatch_descriptors
+            d = _dispatch_descriptors(
+                plan, self.consts, stacks[o], mag, theta,
+                ex, ey, el, es, ang, ovalid, w, h)
+            if plan.norm_mode == NormMode.ROOT_SIFT:
+                d = ops_desc.normalize_rootsift(d, plan.norm_multi, ovalid)
+            else:
+                d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
+            descs.append(d)
+        return descs
+
+    def _get_stage1b(self, cks: tuple[int, ...]):
+        fn = self._stage1b.get(cks)
+        if fn is None:
+            fn = jax.jit(lambda dogs, cands:
+                         self._stage1b_body(dogs, cands, cks))
+            self._stage1b[cks] = fn
         return fn
 
-    # ------------------------------------------------------------------
     def _get_stage2(self, ks: tuple[int, ...]):
         fn = self._stage2.get(ks)
-        if fn is not None:
-            return fn
-        plan = self.plan
-
-        def stage2(grads, exts):
-            outs = []
-            ori_counts = []
-            for o, k in enumerate(ks):
-                if k == 0:
-                    outs.append((jnp.zeros((0,), jnp.int32),
-                                 jnp.zeros((0, 4), jnp.float32),
-                                 jnp.zeros((0,), jnp.int32)))
-                    ori_counts.append(jnp.int32(0))
-                    continue
-                w, h = plan.dims[o]
-                mag, theta = grads[o]
-                e = exts[o]
-                num_ori, oris = ops_ori.assign_orientations(
-                    mag, theta, e.xpos[:k], e.ypos[:k], e.lpos[:k],
-                    e.sigma[:k], e.valid[:k], w, h, plan.ori_win)
-                nums = jnp.where(e.valid[:k], num_ori, 0)
-                incl = jnp.cumsum(nums)
-                outs.append((nums, oris, incl))
-                ori_counts.append(incl[-1])
-            return outs, jnp.stack(ori_counts)
-
-        fn = jax.jit(stage2)
-        self._stage2[ks] = fn
+        if fn is None:
+            fn = jax.jit(lambda grads, exts:
+                         self._stage2_body(grads, exts, ks))
+            self._stage2[ks] = fn
         return fn
 
-    # ------------------------------------------------------------------
     def _get_stage3(self, key: tuple):
         fn = self._stage3.get(key)
-        if fn is not None:
-            return fn
-        plan = self.plan
-        ks, bs = key
+        if fn is None:
+            ks, bs = key
+            fn = jax.jit(lambda grads, stacks, exts, oris:
+                         self._stage3_body(grads, stacks, exts, oris,
+                                           ks, bs))
+            self._stage3[key] = fn
+        return fn
 
-        def stage3(grads, stacks, exts, oris):
-            descs = []
-            for o in range(plan.octaves):
-                k, b = ks[o], bs[o]
-                if b == 0 or k == 0:
-                    descs.append(jnp.zeros((0, 128), jnp.float32))
-                    continue
-                w, h = plan.dims[o]
-                mag, theta = grads[o]
-                e = exts[o]
-                nums, angs, incl = oris[o]
-                idx_ori = incl - nums
-                j = jnp.arange(b, dtype=jnp.int32)
-                fmap = jnp.searchsorted(incl, j, side="right") \
-                    .astype(jnp.int32)
-                ovalid = j < jnp.minimum(incl[-1], b)
-                ei = jnp.clip(fmap, 0, k - 1)
-                kk = jnp.clip(j - idx_ori[ei], 0, 3)
-                ang = angs[ei, kk]
-                ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
-                el, es = e.lpos[:k][ei], e.sigma[:k][ei]
+    def _get_fused(self, key: tuple):
+        """One jitted program running stage1a..stage3 for a known bucket
+        triple — the optimistic fast path: one dispatch, zero intermediate
+        syncs (compiled per stable bucket triple)."""
+        fn = self._fused.get(key)
+        if fn is None:
+            cks, ks, bs = key
 
-                from .extract import _dispatch_descriptors
-                d = _dispatch_descriptors(
-                    plan, self.consts, stacks[o], mag, theta,
-                    ex, ey, el, es, ang, ovalid, w, h)
-                if plan.norm_mode == NormMode.ROOT_SIFT:
-                    d = ops_desc.normalize_rootsift(
-                        d, plan.norm_multi, ovalid)
-                else:
-                    d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
-                descs.append(d)
-            return descs
+            def fused(image):
+                s1 = self._stage1a_fn(image)
+                exts, counts, overflows = self._stage1b_body(
+                    s1["dogs"], s1["cands"], cks)
+                oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
+                descs = self._stage3_body(
+                    s1["grads"], s1["stacks"], exts, oris, ks, bs)
+                return dict(
+                    cand_counts=s1["cand_counts"],
+                    exts=[tuple(e) for e in exts],
+                    counts=counts, overflows=overflows,
+                    oris=oris, ori_counts=ori_counts, descs=descs)
 
-        fn = jax.jit(stage3)
-        self._stage3[key] = fn
+            fn = jax.jit(fused)
+            self._fused[key] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -237,31 +257,26 @@ class StagedExtractor:
         buckets.  Steady-state streams (video, SfM bursts) therefore pay
         one sync per image."""
         plan = self.plan
-        s1 = self._stage1a(image)
 
         guess = self._last_buckets
         if guess is not None:
+            # optimistic fast path: ONE dispatch (fused program for the
+            # guessed bucket triple), ONE bulk readback
             cks, ks, bs = guess
-            exts, counts_dev, overflows_dev = self._get_stage1b(cks)(
-                s1["dogs"], s1["cands"])
-            oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], exts)
-            descs = self._get_stage3((ks, bs))(
-                s1["grads"], s1["stacks"], exts, oris)
-            # single validation readback
-            cand_counts, counts, ori_counts = jax.device_get(
-                (s1["cand_counts"], counts_dev, ori_counts_dev))
+            host = jax.device_get(self._get_fused(guess)(image))
+            cand_counts = host["cand_counts"]
+            counts = host["counts"]
+            ori_counts = host["ori_counts"]
             ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
                   and all(int(c) <= ks[o] for o, c in enumerate(counts))
                   and all(int(c) <= bs[o]
                           for o, c in enumerate(ori_counts)))
             if ok:
-                s1 = dict(s1, exts=exts, overflows=overflows_dev)
-                self._update_buckets(cand_counts, counts, ori_counts,
-                                     exts)
-                return self._package(s1, oris, descs, counts, ori_counts,
-                                     ks, bs)
+                self._update_buckets(cand_counts, counts, ori_counts)
+                return self._package_host(host, counts, ori_counts, ks, bs)
 
         # exact path (first image or bucket overflow)
+        s1 = self._stage1a(image)
         cand_counts = np.asarray(s1["cand_counts"])  # readback 1
         cks = tuple(min(bucket(int(c)), plan.cand_caps[o])
                     for o, c in enumerate(cand_counts))
@@ -281,10 +296,14 @@ class StagedExtractor:
 
         descs = self._get_stage3((ks, bs))(
             s1["grads"], s1["stacks"], s1["exts"], oris)
-        self._update_buckets(cand_counts, counts, ori_counts, exts)
-        return self._package(s1, oris, descs, counts, ori_counts, ks, bs)
+        self._update_buckets(cand_counts, counts, ori_counts)
 
-    def _update_buckets(self, cand_counts, counts, ori_counts, exts):
+        host = jax.device_get(dict(
+            exts=[tuple(e) for e in exts],
+            overflows=s1["overflows"], oris=oris, descs=descs))
+        return self._package_host(host, counts, ori_counts, ks, bs)
+
+    def _update_buckets(self, cand_counts, counts, ori_counts):
         """Adapt the optimistic buckets to the observed counts with
         hysteresis: keep the current bucket while the count fits (stable
         bucket tuples = stable jit cache); grow with 2x headroom on
@@ -315,25 +334,15 @@ class StagedExtractor:
                    for o, c in enumerate(ori_counts))
         self._last_buckets = (cks, ks, bs)
 
-    def _package(self, s1, oris, descs, counts, ori_counts,
-                 ks, bs) -> dict[str, Any]:
+    def _package_host(self, host, counts, ori_counts,
+                      ks, bs) -> dict[str, Any]:
         """Assemble the result pytree (layout-compatible with
-        extract_pipeline's output).
+        extract_pipeline's output) from already-fetched host data.
 
-        Everything needed on the host is fetched in ONE device_get — no
-        eager per-slice device ops (each would be a dispatch round-trip),
-        which matters a lot on remote-attached TPUs."""
+        Everything was fetched in ONE device_get upstream — no eager
+        per-slice device ops (each would be a dispatch round-trip), which
+        matters a lot on remote-attached TPUs."""
         plan = self.plan
-
-        # one bulk transfer of all per-octave device outputs
-        device_tree = dict(
-            exts=[tuple(e) for e in s1["exts"]],
-            oris=oris,
-            descs=descs,
-            overflows=s1["overflows"],
-        )
-        host = jax.device_get(device_tree)
-
         out: dict[str, Any] = {"octaves": []}
         for o in range(plan.octaves):
             xpos, ypos, lpos, sigma, cell, valid, _cnt, _ovf = \
