@@ -263,13 +263,14 @@ class Config:
                 int(math.ceil(h * scale_factor)))
 
     def num_octaves_for(self, w: int, h: int) -> int:
-        """Auto octave count (popsift.cpp:118-122): log2(min(w,h))-3+scale."""
+        """Auto octave count (popsift.cpp:118-122): log2(min(w,h))-3+scale,
+        clamped to MAX_OCTAVES."""
         if self.octaves >= 0:
-            return self.octaves
+            return min(max(self.octaves, 1), MAX_OCTAVES)
         scale_factor = 2.0 ** self.upscale_factor
         oct_ = int(math.floor(math.log(min(w, h)) / math.log(2.0) - 3.0
                               + scale_factor))
-        return max(oct_, 1)
+        return min(max(oct_, 1), MAX_OCTAVES)
 
     def equal(self, other: "Config") -> bool:
         """Structural equality over the fields that gate re-initialisation
