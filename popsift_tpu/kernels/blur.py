@@ -110,7 +110,8 @@ def sep_blur_fused(img: jnp.ndarray,
     span_v = int(span_v)
     h, w = img.shape
 
-    if jax.default_backend() != "tpu" or h < 8 \
+    from .dispatch import pallas_enabled
+    if not pallas_enabled() or h < 8 \
             or (span_h <= 1 and span_v <= 1):
         from ..ops.pyramid import blur_1d
         out = blur_1d(img, np.asarray(taps_h), span_h, axis=-1)

@@ -108,7 +108,8 @@ def gather_windows_aligned_pallas(field: jnp.ndarray, lpos: jnp.ndarray,
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    from .dispatch import pallas_enabled
+    return pallas_enabled()
 
 
 def gather_windows_aligned(field: jnp.ndarray, lpos: jnp.ndarray,

@@ -58,7 +58,11 @@ def batched_extractor(config: Config, width: int, height: int, mesh: Mesh):
     def one(image):
         return extract_pipeline(image, plan, gauss, consts)
 
-    batched = jax.vmap(one)
+    def batched(images):
+        # pallas kernels have no vmap batching rule; use XLA fallbacks
+        from ..kernels.dispatch import disable_pallas
+        with disable_pallas():
+            return jax.vmap(one)(images)
     in_spec = NamedSharding(mesh, P("data", None, None))
 
     fn = jax.jit(batched, in_shardings=(in_spec,))

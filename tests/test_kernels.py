@@ -1,0 +1,71 @@
+"""Pallas kernels in interpreter mode (CPU-covered kernel code paths)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from popsift_tpu.kernels.windows import (aligned_window_dims, align_starts,
+                                         gather_windows_aligned_pallas)
+from popsift_tpu.kernels.blur import _sep_blur_pallas, _round8, _round128
+from popsift_tpu.kernels.dispatch import disable_pallas, pallas_enabled
+
+
+def test_aligned_window_dims():
+    assert aligned_window_dims(48) == (56, 256)
+    assert aligned_window_dims(112) == (120, 256)
+    assert aligned_window_dims(1) == (8, 128)
+
+
+def test_align_starts():
+    ya, xa = align_starts(jnp.asarray([17, 8, 0]), jnp.asarray([200, 128, 1]))
+    np.testing.assert_array_equal(np.asarray(ya), [16, 8, 0])
+    np.testing.assert_array_equal(np.asarray(xa), [128, 128, 0])
+
+
+def test_gather_kernel_interpret():
+    rng = np.random.default_rng(0)
+    field = jnp.asarray(rng.random((3, 64, 384)).astype(np.float32))
+    win = 16
+    wy, wx = aligned_window_dims(win)
+    lp = jnp.asarray([0, 2, 1], jnp.int32)
+    ya = jnp.asarray([0, 8, 40], jnp.int32)
+    xa = jnp.asarray([0, 128, 0], jnp.int32)
+    out = np.asarray(gather_windows_aligned_pallas(
+        field, lp, ya, xa, win, interpret=True))
+    f = np.asarray(field)
+    for i in range(3):
+        np.testing.assert_allclose(
+            out[i], f[int(lp[i]), int(ya[i]):int(ya[i]) + wy,
+                      int(xa[i]):int(xa[i]) + wx])
+
+
+def test_blur_kernel_interpret():
+    rng = np.random.default_rng(1)
+    h, w = 40, 256
+    img = rng.random((h, w)).astype(np.float32)
+    span = 5
+    taps = np.array([0.4, 0.2, 0.1, 0.04, 0.01], np.float32)
+    taps /= taps[0] + 2 * taps[1:].sum()
+
+    halo = _round8(span - 1)
+    pad_x = _round128(span - 1)
+    bh = 32
+    h_pad = (-(-h // bh)) * bh
+    padded = jnp.asarray(np.pad(
+        img, ((halo, halo + h_pad - h), (pad_x, pad_x)), mode="edge"))
+    got = np.asarray(_sep_blur_pallas(
+        padded, tuple(float(t) for t in taps), span,
+        tuple(float(t) for t in taps), span, 2.0, h, w, interpret=True))
+
+    from popsift_tpu.ops.pyramid import blur_1d
+    want = np.asarray(blur_1d(
+        blur_1d(jnp.asarray(img), taps, span, -1) * 2.0,
+        taps, span, -2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_disable_pallas_context():
+    assert not pallas_enabled()  # cpu backend in tests
+    with disable_pallas():
+        assert not pallas_enabled()
