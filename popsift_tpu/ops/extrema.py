@@ -132,14 +132,22 @@ def compact_mask(mask: jnp.ndarray, cap: int):
 def _gather27(dog: jnp.ndarray, n_x, n_y, n_z) -> jnp.ndarray:
     """Batched 3x3x3 window gather around integer coordinates (z, y, x).
 
-    dynamic_slice clamps the start index, which matches CUDA clamp reads
-    only in-range; refinement keeps coordinates in-range by construction
-    (out-of-range moves fail the candidate first).
-    """
-    def one(z, y, x):
-        return jax.lax.dynamic_slice(dog, (z - 1, y - 1, x - 1), (3, 3, 3))
-
-    return jax.vmap(one)(n_z, n_y, n_x)
+    Implemented as one flat gather of 27 offsets per candidate (a single
+    XLA gather over the flattened DoG, which TPUs lower far better than a
+    vmapped dynamic_slice).  Indices are clamped like CUDA texture reads;
+    refinement keeps coordinates in-range by construction (out-of-range
+    moves fail the candidate first)."""
+    L, H, W = dog.shape
+    flat = dog.reshape(-1)
+    z = jnp.clip(n_z, 1, L - 2)[:, None]
+    y = jnp.clip(n_y, 1, H - 2)[:, None]
+    x = jnp.clip(n_x, 1, W - 2)[:, None]
+    dz = jnp.repeat(jnp.arange(-1, 2, dtype=n_z.dtype), 9)[None, :]
+    dy = jnp.tile(jnp.repeat(jnp.arange(-1, 2, dtype=n_z.dtype), 3),
+                  3)[None, :]
+    dx = jnp.tile(jnp.arange(-1, 2, dtype=n_z.dtype), 9)[None, :]
+    idx = ((z + dz) * H + (y + dy)) * W + (x + dx)
+    return flat[idx].reshape(-1, 3, 3, 3)
 
 
 def _solve3(A00, A01, A02, A11, A12, A22, bx, by, bz):

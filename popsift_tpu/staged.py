@@ -44,13 +44,18 @@ from .ops import pyramid as ops_pyr
 
 
 def bucket(n: int, lo: int = 128) -> int:
-    """Next power of two >= max(n, lo)."""
+    """Smallest quarter-power-of-two step >= n (128, 160, 192, 224, 256,
+    320, ...): bounds padded-slot waste to 25% instead of 2x while keeping
+    the set of compile shapes small."""
     if n <= 0:
         return 0
-    b = lo
-    while b < n:
-        b *= 2
-    return b
+    if n <= lo:
+        return lo
+    p = 1 << (n - 1).bit_length()       # next pow2 >= n
+    half = p // 2
+    step = max(half // 4, lo // 4)
+    k = -(-(n - half) // step)
+    return half + k * step
 
 
 class StagedExtractor:
@@ -314,10 +319,11 @@ class StagedExtractor:
 
         def step(cur: int, count: int, cap: int) -> int:
             count = int(count)
+            grown = int(count * 1.3) + 1
             if count > cur:
-                return min(bucket(2 * count), cap)
+                return min(bucket(grown), cap)
             if cur > 128 and count * 8 < cur:
-                return min(bucket(2 * count), cap) if count else 0
+                return min(bucket(grown), cap) if count else 0
             return cur
 
         cks = tuple(step(last[0][o], c, plan.cand_caps[o])

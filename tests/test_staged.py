@@ -12,8 +12,16 @@ def test_bucket():
     assert bucket(0) == 0
     assert bucket(1) == 128
     assert bucket(128) == 128
-    assert bucket(129) == 256
-    assert bucket(5000) == 8192
+    assert bucket(129) == 160   # quarter-power steps
+    assert bucket(2303) == 2560
+    assert bucket(5000) == 5120
+    # monotone and covering
+    prev = 0
+    for n in range(1, 3000, 7):
+        b = bucket(n)
+        assert b >= n
+        assert b >= prev or n <= prev
+        prev = b
 
 
 def test_staged_matches_monolithic(blob_image):
