@@ -129,25 +129,11 @@ def compact_mask(mask: jnp.ndarray, cap: int):
     return x, y, z, valid, count, overflow
 
 
-def _gather27(dog: jnp.ndarray, n_x, n_y, n_z) -> jnp.ndarray:
-    """Batched 3x3x3 window gather around integer coordinates (z, y, x).
-
-    Implemented as one flat gather of 27 offsets per candidate (a single
-    XLA gather over the flattened DoG, which TPUs lower far better than a
-    vmapped dynamic_slice).  Indices are clamped like CUDA texture reads;
-    refinement keeps coordinates in-range by construction (out-of-range
-    moves fail the candidate first)."""
-    L, H, W = dog.shape
-    flat = dog.reshape(-1)
-    z = jnp.clip(n_z, 1, L - 2)[:, None]
-    y = jnp.clip(n_y, 1, H - 2)[:, None]
-    x = jnp.clip(n_x, 1, W - 2)[:, None]
-    dz = jnp.repeat(jnp.arange(-1, 2, dtype=n_z.dtype), 9)[None, :]
-    dy = jnp.tile(jnp.repeat(jnp.arange(-1, 2, dtype=n_z.dtype), 3),
-                  3)[None, :]
-    dx = jnp.tile(jnp.arange(-1, 2, dtype=n_z.dtype), 9)[None, :]
-    idx = ((z + dz) * H + (y + dy)) * W + (x + dx)
-    return flat[idx].reshape(-1, 3, 3, 3)
+def _gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z) -> jnp.ndarray:
+    """Batched 3x3x3 window gather around integer coordinates (z, y, x);
+    Pallas DMA + one-hot extraction on TPU, flat XLA gather elsewhere."""
+    from ..kernels.refine import gather27
+    return gather27(dog_padded, n_x, n_y, n_z)
 
 
 def _solve3(A00, A01, A02, A11, A12, A22, bx, by, bz):
@@ -194,23 +180,27 @@ def refine_extrema(dog: jnp.ndarray,
     width = jnp.int32(w)
     height = jnp.int32(h)
 
+    # pad to the DMA-friendly shape the 27-point kernel expects; pad values
+    # are never selected (candidate coordinates stay >= 1 from the borders)
+    hp = max(-(-h // 8) * 8, 16)
+    wp = max(-(-w // 128) * 128, 256)
+    dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+
     nx = cand_x.astype(jnp.int32)
     ny = cand_y.astype(jnp.int32)
     nz = cand_z.astype(jnp.int32)
 
-    # v: DoG value at the *initial* position (s_extrema.cu:341,356)
-    v = dog[nz, ny, nx]
-
-    zeros = jnp.zeros_like(v)
+    zeros = jnp.zeros(nx.shape, jnp.float32)
     state = dict(
         nx=nx, ny=ny, nz=nz,
+        v=zeros,  # DoG value at the *initial* position (s_extrema.cu:356)
         dx=zeros, dy=zeros, dz=zeros,
         Dx=zeros, Dy=zeros, Dz=zeros,
         DDx=zeros, DDy=zeros, DDz=zeros,
         DXx=zeros, DXy=zeros, DXz=zeros,
         done=jnp.zeros_like(cand_valid),
         failed=~cand_valid,
-        done_iter=jnp.full(v.shape, MAX_ITERATIONS + 1, jnp.int32),
+        done_iter=jnp.full(nx.shape, MAX_ITERATIONS + 1, jnp.int32),
     )
 
     is_opencv = sift_mode == SiftMode.OPENCV
@@ -219,8 +209,10 @@ def refine_extrema(dog: jnp.ndarray,
     def body(it, st):
         active = ~st["done"] & ~st["failed"]
 
-        win = _gather27(dog, st["nx"], st["ny"], st["nz"])  # (cap,3,3,3)
+        win = _gather27(dogp, st["nx"], st["ny"], st["nz"])  # (cap,3,3,3)
         p = lambda dz_, dy_, dx_: win[:, 1 + dz_, 1 + dy_, 1 + dx_]
+        # the first iteration's centre is the initial position
+        st = dict(st, v=jnp.where(it == 1, p(0, 0, 0), st["v"]))
 
         Dx = 0.5 * (p(0, 0, 1) - p(0, 0, -1))
         Dy = 0.5 * (p(0, 1, 0) - p(0, -1, 0))
@@ -279,7 +271,7 @@ def refine_extrema(dog: jnp.ndarray,
             nz_n = jnp.where(do_move, nz_ + tz, nz_)
 
         upd = lambda old, new: jnp.where(active, new, old)
-        st2 = dict(st)
+        st2 = dict(st)  # carries the it==1 'v' update above
         st2["nx"] = upd(nx_, nx_n)
         st2["ny"] = upd(ny_, ny_n)
         st2["nz"] = upd(nz_, nz_n)
@@ -315,8 +307,8 @@ def refine_extrema(dog: jnp.ndarray,
         ok &= ~((xn < 0.0) | (xn > w - 1.0) | (yn < 0.0) | (yn > h - 1.0)
                 | (sn < 0.0) | (sn > maxlevel))
 
-    contr = v + 0.5 * (st["Dx"] * st["dx"] + st["Dy"] * st["dy"]
-                       + st["Dz"] * st["dz"])
+    contr = st["v"] + 0.5 * (st["Dx"] * st["dx"] + st["Dy"] * st["dy"]
+                             + st["Dz"] * st["dz"])
     tr = st["DDx"] + st["DDy"]
     det = st["DDx"] * st["DDy"] - st["DXx"] * st["DXx"]
     edgeval = tr * tr / jnp.where(det == 0, 1.0, det)

@@ -40,7 +40,14 @@ def _resample_1d(arr: jnp.ndarray, dst_size: int, src_size: int,
     (x + shift) / dst_size, i.e. source pixel (x+shift)*src/dst - 0.5, with
     clamp addressing — exactly the texture read in
     s_pyramid_build_ra.cu:37-38 combined with the hardware bilinear filter.
+
+    The default 2x upscale is specialised to shift/interleave arithmetic
+    (TPUs have no fast gather; the general path's static ``take`` lowers
+    poorly on the minor axis).
     """
+    if dst_size == 2 * src_size:
+        return _upsample2_1d(arr, shift, axis)
+
     pos = (np.arange(dst_size, dtype=np.float64) + shift) \
         * (src_size / dst_size) - 0.5
     i0 = np.clip(np.floor(pos).astype(np.int64), 0, src_size - 1)
@@ -54,6 +61,30 @@ def _resample_1d(arr: jnp.ndarray, dst_size: int, src_size: int,
     w_shape[axis] = dst_size
     w = jnp.asarray(w).reshape(w_shape)
     return a * (1.0 - w) + b * w
+
+
+def _upsample2_1d(arr: jnp.ndarray, shift: float, axis: int) -> jnp.ndarray:
+    """2x bilinear upscale along one axis via interleaving.
+
+    dst position x samples source at (x+shift)/2 - 0.5: even outputs at
+    k + (shift-1)/2, odd outputs at k + shift/2, i.e. two static blends of
+    the source with its +1 (or -1) shifted copy, interleaved."""
+    n = arr.shape[axis]
+    arr = jnp.moveaxis(arr, axis, -1)
+
+    def blend(frac: float) -> jnp.ndarray:
+        # sample at k + frac with clamp addressing, frac in (-1, 1)
+        if frac >= 0.0:
+            nxt = jnp.concatenate([arr[..., 1:], arr[..., -1:]], axis=-1)
+            return arr * (1.0 - frac) + nxt * frac
+        prev = jnp.concatenate([arr[..., :1], arr[..., :-1]], axis=-1)
+        return arr * (1.0 + frac) + prev * (-frac)
+
+    even = blend((shift - 1.0) / 2.0)
+    odd = blend(shift / 2.0)
+    out = jnp.stack([even, odd], axis=-1).reshape(
+        arr.shape[:-1] + (2 * n,))
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resample_input(image: jnp.ndarray, dst_h: int, dst_w: int,
