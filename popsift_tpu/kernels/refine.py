@@ -42,13 +42,15 @@ def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, dog_ref, out_ref,
         return pltpu.make_async_copy(
             obuf.at[slot], out_ref.at[i], osems.at[slot])
 
-    for i in range(min(_DEPTH, n)):
-        mk(i, i).start()
+    # prefetch distance is _DEPTH-1, NOT _DEPTH: slot (i+_DEPTH)%_DEPTH ==
+    # i%_DEPTH would overwrite the slab this iteration is about to read
+    for i in range(min(_DEPTH - 1, n)):
+        mk(i, i % _DEPTH).start()
 
     def body(i, _):
-        @pl.when(i + _DEPTH < n)
+        @pl.when(i + _DEPTH - 1 < n)
         def _():
-            mk(i + _DEPTH, (i + _DEPTH) % _DEPTH).start()
+            mk(i + _DEPTH - 1, (i + _DEPTH - 1) % _DEPTH).start()
 
         mk(i, i % _DEPTH).wait()
 
@@ -139,6 +141,9 @@ def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
 
     from .dispatch import pallas_enabled
     use_pallas = pallas_enabled() if interpret is None else True
+    # the 5 scalar-prefetch arrays must fit in SMEM (1 MiB)
+    if z.shape[0] > 16384:
+        use_pallas = False
     if use_pallas:
         out = _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
                                interpret=bool(interpret))

@@ -62,6 +62,12 @@ def _gather_kernel(win_y: int, win_x: int,
             sems.at[slot],
         )
 
+    # NOTE: sharing a semaphore slot between DMA i and i+_DEPTH is safe
+    # *here* because the copies go HBM->HBM with disjoint destinations and
+    # nothing reads the data inside the kernel; every started copy is
+    # awaited exactly once so the semaphores balance.  Kernels that consume
+    # a VMEM slot must prefetch at distance _DEPTH-1 instead (see
+    # kernels/refine.py).
     warm = min(_DEPTH, n)
     for i in range(warm):
         mk(i, i % _DEPTH).start()
