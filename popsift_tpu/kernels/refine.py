@@ -141,12 +141,17 @@ def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
 
     from .dispatch import pallas_enabled
     use_pallas = pallas_enabled() if interpret is None else True
-    # the 5 scalar-prefetch arrays must fit in SMEM (1 MiB)
+    # the scalar-prefetch arrays must fit in SMEM (1 MiB)
     if z.shape[0] > 16384:
         use_pallas = False
     if use_pallas:
-        out = _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
-                               interpret=bool(interpret))
+        from .refine_batch import GROUP, gather27_batch_pallas
+        if z.shape[0] % GROUP == 0:
+            out = gather27_batch_pallas(dog_padded, za, ya, xa, dy0, dx0,
+                                        interpret=bool(interpret))
+        else:
+            out = _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
+                                   interpret=bool(interpret))
         return out[:, :, :3].reshape(-1, 3, 3, 3)
 
     # XLA fallback: flat gather
