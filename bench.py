@@ -47,7 +47,7 @@ def main() -> int:
 
     images = [make_1080p_image(seed) for seed in range(4)]
 
-    with PopSift(config, workers=2) as ps:
+    with PopSift(config, workers=4) as ps:
         # warm up: compiles + optimistic-bucket adaptation (2 passes)
         t0 = time.time()
         for _ in range(2):

@@ -247,10 +247,15 @@ class PopSift:
                 for _ in range(self._n_workers):
                     self._queue_stage2.put(None)
                 return
-            self._pool.acquire()  # backpressure: 2 staged images max
+            self._pool.acquire()  # backpressure: bounded staged images
             try:
-                norm = normalize_input(job._image_data)
-                job.set_img(jax.device_put(norm, self._device))
+                data = job._image_data
+                if data.dtype == np.uint8:
+                    # upload bytes; normalization happens on-device
+                    job.set_img(jax.device_put(data, self._device))
+                else:
+                    job.set_img(jax.device_put(
+                        normalize_input(data), self._device))
             except BaseException as e:  # noqa: BLE001
                 job.set_error(e)
             self._queue_stage2.put(job)

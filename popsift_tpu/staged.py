@@ -77,9 +77,15 @@ class StagedExtractor:
     def _stage1a_fn(self, image):
         """Pyramid + DoG + dense detection + candidate compaction +
         gradient fields. Returns candidate buffers and their counts (one
-        readback sizes the refinement stage)."""
+        readback sizes the refinement stage).
+
+        Accepts uint8 images and normalizes on-device (uploading bytes is
+        4x cheaper than pre-normalized f32; the reference likewise uploads
+        bytes and converts in the texture unit, s_image.cu:147)."""
         from .tracing import scope
         plan = self.plan
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) * (1.0 / 255.0)
         with scope("pyramid"):
             stacks = ops_pyr.build_pyramid(
                 image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
