@@ -56,7 +56,7 @@ def _tile_offsets() -> np.ndarray:
 def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
                      xpos, ypos, lpos, sigma, ang, valid,
                      w: int, h: int, win: int,
-                     chunk: int = 64) -> jnp.ndarray:
+                     chunk: int = 256) -> jnp.ndarray:
     """Loop-mode descriptors for a batch of (keypoint, orientation) slots.
 
     mag/theta : (L, H, W) gradient fields of the octave.
@@ -68,9 +68,10 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
 
     win_y, win_x = aligned_window_dims(win)
     pad_y, pad_x = win_y, win_x
-    magp = jnp.pad(mag, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
-    thetap = jnp.pad(theta, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     L = mag.shape[0]
+    # stack mag+theta so one DMA kernel call fetches both windows
+    both = jnp.pad(jnp.concatenate([mag, theta], axis=0),
+                   ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     offs = jnp.asarray(_tile_offsets())
 
     def one_slot(mw, tw, x, y, x0, y0, sig, a, vld):
@@ -126,18 +127,20 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
 
     def chunk_fn(c):
         x, y, l, sig, a, vld = c
+        n = x.shape[0]
         rx = jnp.round(x).astype(jnp.int32)
         ry = jnp.round(y).astype(jnp.int32)
         x0 = rx - win // 2
         y0 = ry - win // 2
         lp = jnp.clip(l, 0, L - 1)
-        # batched window DMA (Pallas on TPU), tile-aligned origins
-        mw, ya, xa = gather_windows_aligned(magp, lp, y0 + pad_y,
-                                            x0 + pad_x, win)
-        tw, _, _ = gather_windows_aligned(thetap, lp, y0 + pad_y,
-                                          x0 + pad_x, win)
-        x0 = xa - pad_x
-        y0 = ya - pad_y
+        # one batched window DMA fetches mag and theta windows together
+        lp2 = jnp.concatenate([lp, lp + L])
+        wins, ya, xa = gather_windows_aligned(
+            both, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2),
+            win)
+        mw, tw = wins[:n], wins[n:]
+        x0 = xa[:n] - pad_x
+        y0 = ya[:n] - pad_y
         return jax.vmap(one_slot)(mw, tw, x, y, x0, y0, sig, a, vld)
 
     cap = xpos.shape[0]

@@ -50,13 +50,17 @@ def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
     return hist
 
 
-def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
+def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
                 w: int, h: int, win: int, pad_y: int, pad_x: int,
                 n_levels: int):
     """Gradient-magnitude orientation histograms for a batch of slots
-    (ori_par's first phase, s_orientation.cu:104-162)."""
+    (ori_par's first phase, s_orientation.cu:104-162).
+
+    ``bothp`` is the padded concatenation [mag; theta] along the level axis
+    so one DMA kernel call fetches both windows."""
     from ..kernels.windows import aligned_window_dims, gather_windows_aligned
 
+    n = xpos.shape[0]
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
     rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
@@ -66,13 +70,13 @@ def _histograms(magp, thetap, xpos, ypos, lpos, sigma, valid,
     lp = jnp.clip(lpos, 0, n_levels - 1)
 
     win_y, win_x = aligned_window_dims(win)
-    mw, ya, xa = gather_windows_aligned(magp, lp, y0 + pad_y, x0 + pad_x,
-                                        win)
-    tw, _, _ = gather_windows_aligned(thetap, lp, y0 + pad_y, x0 + pad_x,
-                                      win)
+    lp2 = jnp.concatenate([lp, lp + n_levels])
+    wins, ya, xa = gather_windows_aligned(
+        bothp, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2), win)
+    mw, tw = wins[:n], wins[n:]
     # unpadded-coordinate origins of the aligned windows
-    x0 = xa - pad_x
-    y0 = ya - pad_y
+    x0 = xa[:n] - pad_x
+    y0 = ya[:n] - pad_y
 
     jj = x0[:, None] + jnp.arange(win_x, dtype=jnp.int32)[None, :]
     ii = y0[:, None] + jnp.arange(win_y, dtype=jnp.int32)[None, :]
@@ -130,8 +134,8 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     from ..kernels.windows import aligned_window_dims
     win_y, win_x = aligned_window_dims(win)
     pad_y, pad_x = win_y, win_x
-    magp = jnp.pad(mag, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
-    thetap = jnp.pad(theta, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+    bothp = jnp.pad(jnp.concatenate([mag, theta], axis=0),
+                    ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     n_levels = mag.shape[0]
 
     cap = xpos.shape[0]
@@ -147,7 +151,7 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
 
     hist = jax.lax.map(
-        lambda c: _histograms(magp, thetap, *c, w, h, win, pad_y, pad_x,
+        lambda c: _histograms(bothp, *c, w, h, win, pad_y, pad_x,
                               n_levels),
         args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
 
