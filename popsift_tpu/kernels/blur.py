@@ -111,7 +111,10 @@ def sep_blur_fused(img: jnp.ndarray,
     h, w = img.shape
 
     from .dispatch import pallas_enabled
-    if not pallas_enabled() or h < 8 \
+    # the kernel wins on large planes; for small octaves the per-launch
+    # overhead (~0.3 ms) exceeds the whole XLA blur, which also fuses into
+    # neighbouring ops
+    if not pallas_enabled() or h < 8 or h * w < (1 << 21) \
             or (span_h <= 1 and span_v <= 1):
         from ..ops.pyramid import blur_1d
         out = blur_1d(img, np.asarray(taps_h), span_h, axis=-1)

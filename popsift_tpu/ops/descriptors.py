@@ -41,6 +41,14 @@ from ..constants import DESC_MAGNIFY, M_PI2, M_4RPI
 from .orientation import max_sigma
 
 
+_FORCE_REDUCE_BINNING = False  # test hook
+
+
+def _use_reduce_binning() -> bool:
+    import jax
+    return _FORCE_REDUCE_BINNING or jax.default_backend() == "tpu"
+
+
 def desc_window_size(sigma0: float, levels: int) -> int:
     """Static loop-family window: covers |d|_inf < 2.5*sqrt(2)*SBP_max."""
     sbp_max = DESC_MAGNIFY * max_sigma(sigma0, levels)
@@ -107,19 +115,39 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
 
         # angular bilinear (cap of 8 bins, dpt[8] folded into dpt[0],
         # s_desc_loop.cu:114-124)
-        bins = jnp.arange(8, dtype=jnp.int32)
-        a_oh = ((fo0[..., None] == bins) * (1.0 - do0)[..., None]
-                + (fo1[..., None] == bins) * do0[..., None])
-        p = win_y * win_x
-        A = (wgt[..., None] * a_oh).reshape(p, 8)
+        lo = wgt * (1.0 - do0)
+        hi = wgt * do0
+        if _use_reduce_binning():
+            # per-tile trilinear binning as fused multiply-reduces — on
+            # TPU a matmul formulation materialises (p, 32) operands per
+            # slot and turns the stage HBM-bound
+            rows = []
+            for ty in range(4):
+                wy_t = jnp.maximum(0.0, 1.0 - jnp.abs(uy - (ty - 1.5)))
+                for tx in range(4):
+                    wx_t = jnp.maximum(0.0,
+                                       1.0 - jnp.abs(ux - (tx - 1.5)))
+                    wt = wy_t * wx_t
+                    wlo = wt * lo
+                    whi = wt * hi
+                    cols = [
+                        jnp.sum(jnp.where(fo0 == b, wlo, 0.0)
+                                + jnp.where(fo1 == b, whi, 0.0))
+                        for b in range(8)
+                    ]
+                    rows.append(jnp.stack(cols))
+            return jnp.concatenate(rows)
 
-        # spatial triangle weights per tile, strict |n| < 1 via max(0, .)
+        # matmul formulation (fast to compile; used off-TPU)
+        bins = jnp.arange(8, dtype=jnp.int32)
+        a_oh = ((fo0[..., None] == bins) * lo[..., None]
+                + (fo1[..., None] == bins) * hi[..., None])
+        p = win_y * win_x
+        A = a_oh.reshape(p, 8)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[..., None] - offs))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[..., None] - offs))
         wx = wx.reshape(p, 4)
         wy = wy.reshape(p, 4)
-
-        # (p,4)x(p,8) -> (p,32); (p,4)^T @ (p,32) -> (4,32) = 4x4x8
         E = (wx[:, :, None] * A[:, None, :]).reshape(p, 32)
         D = jnp.einsum("pt,pq->tq", wy, E,
                        preferred_element_type=jnp.float32)
