@@ -45,8 +45,10 @@ _FORCE_REDUCE_BINNING = False  # test hook
 
 
 def _use_reduce_binning() -> bool:
-    import jax
-    return _FORCE_REDUCE_BINNING or jax.default_backend() == "tpu"
+    # Measured on v5e: under vmap the "fused reduce" formulation
+    # materialises (chunk, win_y, win_x) planes per pass (128 passes!) and
+    # loses to the matmul form at any chunk size; keep matmul everywhere.
+    return _FORCE_REDUCE_BINNING
 
 
 def desc_window_size(sigma0: float, levels: int) -> int:
@@ -64,7 +66,7 @@ def _tile_offsets() -> np.ndarray:
 def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
                      xpos, ypos, lpos, sigma, ang, valid,
                      w: int, h: int, win: int,
-                     chunk: int = 256) -> jnp.ndarray:
+                     chunk: int = 64) -> jnp.ndarray:
     """Loop-mode descriptors for a batch of (keypoint, orientation) slots.
 
     mag/theta : (L, H, W) gradient fields of the octave.

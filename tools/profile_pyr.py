@@ -53,12 +53,13 @@ def main():
         return jnp.sum(stacks[0][:, ::64, ::64])
     timed("octave0 full (6 levels)", jax.jit(oct0), images)
 
-    def allp(im):
-        stacks = P.build_pyramid(
-            im, gauss, plan.dims, plan.levels, plan.gauss_mode,
-            plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
-        return jnp.stack([jnp.sum(s[:, ::64, ::64]) for s in stacks])
-    timed("all octaves", jax.jit(allp), images)
+    for k in (1, 2, 3, 5, 9):
+        def allp(im, k=k):
+            stacks = P.build_pyramid(
+                im, gauss, plan.dims[:k], plan.levels, plan.gauss_mode,
+                plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
+            return jnp.stack([jnp.sum(s[:, ::64, ::64]) for s in stacks])
+        timed(f"octaves 0..{k - 1}", jax.jit(allp), images)
 
     # standalone fused blur at octave-0 size, largest span
     big = [jax.device_put(jnp.asarray(np.random.default_rng(s).random(
