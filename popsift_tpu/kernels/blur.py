@@ -114,7 +114,7 @@ def sep_blur_fused(img: jnp.ndarray,
     # the kernel wins on large planes; for small octaves the per-launch
     # overhead (~0.3 ms) exceeds the whole XLA blur, which also fuses into
     # neighbouring ops
-    if not pallas_enabled() or h < 8 or h * w < (1 << 21) \
+    if not pallas_enabled() or h < 8 or h * w < (1 << 18) \
             or (span_h <= 1 and span_v <= 1):
         from ..ops.pyramid import blur_1d
         out = blur_1d(img, np.asarray(taps_h), span_h, axis=-1)
