@@ -27,19 +27,26 @@ def dump_all(config: Config, job, basename: str, base_dir: str = ".") -> None:
     fn, plan = get_extractor(config, job._w, job._h, return_pyramid=True)
     result = fn(normalize_input(job._image_data))
 
-    pyr_dir = os.path.join(base_dir, "dir-pyramid")
+    # directory layout mirrors Octave::download_and_save_array
+    # (sift_octave.cu:119-137): dir-octave (unscaled pgm),
+    # dir-octave-dump (raw float), dir-dog (scaled pgm),
+    # dir-dog-txt (offset-by-127 pgm-style), dir-dog-dump (raw float)
+    oct_dir = os.path.join(base_dir, "dir-octave")
+    octd_dir = os.path.join(base_dir, "dir-octave-dump")
     dog_dir = os.path.join(base_dir, "dir-dog")
-    _ensure(pyr_dir)
-    _ensure(dog_dir)
+    dogt_dir = os.path.join(base_dir, "dir-dog-txt")
+    dogd_dir = os.path.join(base_dir, "dir-dog-dump")
+    for d in (oct_dir, octd_dir, dog_dir, dogt_dir, dogd_dir):
+        _ensure(d)
 
     for o, stack in enumerate(result["pyramid"]):
         arr = np.asarray(stack)
         for lvl in range(arr.shape[0]):
             name = f"{basename}-o-{o}-l-{lvl}"
-            write_pgm(os.path.join(pyr_dir, name + ".pgm"),
+            write_pgm(os.path.join(oct_dir, name + ".pgm"),
                       np.clip(arr[lvl], 0, 255).astype(np.uint8))
             arr[lvl].astype(np.float32).tofile(
-                os.path.join(pyr_dir, name + ".dat"))
+                os.path.join(octd_dir, name + ".dump"))
     for o, dog in enumerate(result["dog"]):
         arr = np.asarray(dog)
         for lvl in range(arr.shape[0]):
@@ -48,8 +55,10 @@ def dump_all(config: Config, job, basename: str, base_dir: str = ".") -> None:
             scale = 255.0 / (hi - lo) if hi > lo else 1.0
             write_pgm(os.path.join(dog_dir, name + ".pgm"),
                       ((arr[lvl] - lo) * scale).astype(np.uint8))
+            write_pgm(os.path.join(dogt_dir, name + ".txt.pgm"),
+                      np.clip(arr[lvl] + 127.0, 0, 255).astype(np.uint8))
             arr[lvl].astype(np.float32).tofile(
-                os.path.join(dog_dir, name + ".dat"))
+                os.path.join(dogd_dir, name + ".dump"))
 
     # descriptor text dumps (save_descriptors writes both orientations-
     # and shape-matrix-style headers, sift_pyramid.cu:401-444)

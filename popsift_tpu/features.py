@@ -145,6 +145,14 @@ class FeaturesHost(FeaturesBase):
         for f in self:
             f.print(ostr, write_as_uchar)
 
+    def pin(self) -> None:
+        """API parity with FeaturesHost::pin (features.cu:86-105): pins
+        host memory for fast D2H on CUDA.  JAX manages transfer staging
+        itself, so this is a documented no-op."""
+
+    def unpin(self) -> None:
+        """API parity with FeaturesHost::unpin (features.cu:107-111)."""
+
 
 class FeaturesDev(FeaturesBase):
     """Device-resident features for MatchingMode (features.h:106-122)."""

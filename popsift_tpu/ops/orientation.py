@@ -42,12 +42,32 @@ def ori_window_size(sigma0: float, levels: int) -> int:
 
 
 
+# Compile-time smoothing selector of the reference
+# (WITH_VLFEAT_SMOOTHING, s_orientation.cu:34): VLFeat smoothing is the
+# compiled-in default; flip to False for the OpenCV variant.
+WITH_VLFEAT_SMOOTHING = True
+
+
 def smooth_histogram_vlfeat(hist: jnp.ndarray) -> jnp.ndarray:
     """Six circular 3-bin box averages (s_orientation.cu:165-178)."""
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=-1) + hist
                 + jnp.roll(hist, -1, axis=-1)) / 3.0
     return hist
+
+
+def smooth_histogram_opencv(hist: jnp.ndarray) -> jnp.ndarray:
+    """One circular [1,4,6,4,1]/16 pass (s_orientation.cu:179-194)."""
+    return (jnp.roll(hist, 2, axis=-1) + jnp.roll(hist, -2, axis=-1)
+            + 4.0 * (jnp.roll(hist, 1, axis=-1)
+                     + jnp.roll(hist, -1, axis=-1))
+            + 6.0 * hist) / 16.0
+
+
+def smooth_histogram(hist: jnp.ndarray) -> jnp.ndarray:
+    if WITH_VLFEAT_SMOOTHING:
+        return smooth_histogram_vlfeat(hist)
+    return smooth_histogram_opencv(hist)
 
 
 def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
@@ -155,7 +175,7 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
                               n_levels),
         args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
 
-    sm = smooth_histogram_vlfeat(hist)
+    sm = smooth_histogram(hist)
 
     # per-bin quadratic peak refinement (s_orientation.cu:199-221)
     prev = jnp.roll(sm, 1, axis=-1)

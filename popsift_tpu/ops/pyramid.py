@@ -154,8 +154,14 @@ def _fused(img, taps_h, span_h, taps_v=None, span_v=None, hscale=1.0):
 def downscale_by_2(level: jnp.ndarray) -> jnp.ndarray:
     """get_by_2_pick_every_second (s_pyramid_build.cu:50-71): output pixel
     (x,y) = source (2x, 2y).  ceil-halving dims come out naturally from the
-    strided slice."""
-    return level[..., ::2, ::2]
+    strided slice.
+
+    Uses lax.slice directly: jnp's ``[::2, ::2]`` basic indexing lowers to
+    a gather on TPU (~20 ms at 4K); the native strided slice is free.
+    """
+    starts = (0,) * level.ndim
+    return jax.lax.slice(level, starts, level.shape,
+                         (1,) * (level.ndim - 2) + (2, 2))
 
 
 def make_dog(stack: jnp.ndarray) -> jnp.ndarray:

@@ -147,6 +147,12 @@ class PopSift:
         self._config.levels = max(2, self._config.levels)
         return True
 
+    def apply_configuration(self, force: bool = False) -> bool:
+        """API parity with applyConfiguration (popsift.cpp:91-107): the
+        filter tables / constants re-initialisation it guards is handled
+        by the per-config extractor cache here."""
+        return True
+
     def uninit(self) -> None:
         if not self._isInit:
             import sys

@@ -109,8 +109,11 @@ def test_demo_cli_log_dump(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.demo",
                  ["-i", demo_image, "--log", "--dont-write"], str(tmp_path))
     assert r.returncode == 0, r.stderr
-    assert (tmp_path / "dir-pyramid").is_dir()
-    assert (tmp_path / "dir-dog").is_dir()
-    assert (tmp_path / "dir-desc").is_dir()
-    pgms = list((tmp_path / "dir-pyramid").glob("*.pgm"))
+    # reference layout (sift_octave.cu:119-137)
+    for d in ("dir-octave", "dir-octave-dump", "dir-dog", "dir-dog-txt",
+              "dir-dog-dump", "dir-desc", "dir-fpt"):
+        assert (tmp_path / d).is_dir(), d
+    pgms = list((tmp_path / "dir-octave").glob("*.pgm"))
     assert len(pgms) > 5
+    dumps = list((tmp_path / "dir-dog-dump").glob("*.dump"))
+    assert len(dumps) > 4
