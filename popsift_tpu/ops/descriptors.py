@@ -74,10 +74,11 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
     (matching the reference's ``tile = ((iy*4+ix)*8)`` layout,
     s_desc_loop.cu:29).
     """
-    from ..kernels.windows import aligned_window_dims, gather_windows_aligned
+    from ..kernels.windows import aligned_window_dims
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
 
-    win_y, win_x = aligned_window_dims(win)
-    pad_y, pad_x = win_y, win_x
+    pad_y, pad_x = aligned_window_dims(win)  # covers the 256-wide slab
+    win_y, win_x = rolled_window_dims(win)
     L = mag.shape[0]
     # stack mag+theta so one DMA kernel call fetches both windows
     both = jnp.pad(jnp.concatenate([mag, theta], axis=0),
@@ -163,13 +164,13 @@ def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
         x0 = rx - win // 2
         y0 = ry - win // 2
         lp = jnp.clip(l, 0, L - 1)
-        # one batched window DMA fetches mag and theta windows together
+        # one batched window DMA fetches mag and theta windows together;
+        # columns start exactly at x0 (in-kernel lane roll)
         lp2 = jnp.concatenate([lp, lp + L])
-        wins, ya, xa = gather_windows_aligned(
+        wins, ya = gather_windows_exact(
             both, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2),
             win)
         mw, tw = wins[:n], wins[n:]
-        x0 = xa[:n] - pad_x
         y0 = ya[:n] - pad_y
         return jax.vmap(one_slot)(mw, tw, x, y, x0, y0, sig, a, vld)
 

@@ -78,7 +78,7 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
 
     ``bothp`` is the padded concatenation [mag; theta] along the level axis
     so one DMA kernel call fetches both windows."""
-    from ..kernels.windows import aligned_window_dims, gather_windows_aligned
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
 
     n = xpos.shape[0]
     rx = jnp.round(xpos).astype(jnp.int32)
@@ -89,13 +89,12 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
     y0 = ry - half
     lp = jnp.clip(lpos, 0, n_levels - 1)
 
-    win_y, win_x = aligned_window_dims(win)
+    win_y, win_x = rolled_window_dims(win)
     lp2 = jnp.concatenate([lp, lp + n_levels])
-    wins, ya, xa = gather_windows_aligned(
+    wins, ya = gather_windows_exact(
         bothp, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2), win)
     mw, tw = wins[:n], wins[n:]
-    # unpadded-coordinate origins of the aligned windows
-    x0 = xa[:n] - pad_x
+    # unpadded-coordinate origins (columns start exactly at x0)
     y0 = ya[:n] - pad_y
 
     jj = x0[:, None] + jnp.arange(win_x, dtype=jnp.int32)[None, :]
@@ -153,7 +152,7 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
     """
     from ..kernels.windows import aligned_window_dims
     win_y, win_x = aligned_window_dims(win)
-    pad_y, pad_x = win_y, win_x
+    pad_y, pad_x = win_y, win_x  # padding must still cover the 256 slab
     bothp = jnp.pad(jnp.concatenate([mag, theta], axis=0),
                     ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     n_levels = mag.shape[0]
