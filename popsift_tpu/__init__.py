@@ -14,6 +14,32 @@ Public API mirrors the reference:
     features = job.get()
 """
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled XLA programs across processes.
+
+    The extraction pipeline compiles one fused program per (config, image
+    bucket, count-bucket triple); on a remotely-attached TPU each compile
+    costs tens of seconds, and the reference's analog (CUDA fatbin cache)
+    is free.  Best-effort: never fail import over cache setup."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "POPSIFT_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "popsift_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import (Config, DescMode, GaussMode, GridFilterMode, ImageMode,
                      LogMode, NormMode, ProcessingMode, ScalingMode, SiftMode,
                      MAX_LEVELS, MAX_OCTAVES)

@@ -49,8 +49,11 @@ def read_job(job, really_write: bool, write_as_uchar: bool) -> None:
 def main(argv: list[str] | None = None) -> int:
     apply_platform_override()
     parser = argparse.ArgumentParser(prog="popsift-demo")
+    # the reference takes one -i (a file or a directory, recursed,
+    # main.cpp:59,153-170); accepting repeats is a harmless superset —
+    # silently dropping all but the last input would lose data
     parser.add_argument("-i", "--input-file", required=True,
-                        help="Input file")
+                        action="append", help="Input file or directory")
     add_common_options(parser)
     args = parser.parse_args(argv)
 
@@ -59,9 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.print_dev_info:
         print_device_info()
 
-    input_files = [args.input_file]
-    if os.path.isdir(args.input_file):
-        input_files = collect_filenames(args.input_file)
+    input_files = []
+    for item in args.input_file:
+        if os.path.isdir(item):
+            input_files.extend(collect_filenames(item))
+        else:
+            input_files.append(item)
     if not input_files:
         print(f"No files in {args.input_file}", file=sys.stderr)
         return 1

@@ -130,6 +130,15 @@ class Config:
     ext_capacity: int = -1
     ori_capacity: int = -1
 
+    # --- TPU-specific transfer precision.  "u16" downloads descriptors as
+    # 16-bit fixed point scaled by 2^norm_multiplier (absolute error
+    # <= 2^norm_multiplier/131070, far below the float tolerance of the
+    # fidelity target) and dequantizes on the host; "f32" downloads raw
+    # floats.  The reference's D2H runs over PCIe where this is moot
+    # (sift_pyramid.cu:304-318); on a remotely-attached TPU the descriptor
+    # payload is the throughput ceiling.
+    desc_transfer: str = "u16"
+
     # ------------------------------------------------------------------
     # Setter API mirroring the reference (sift_conf.h:143-334)
     # ------------------------------------------------------------------
@@ -286,7 +295,7 @@ class Config:
             self.assume_initial_blur, self.initial_blur, self.norm_mode,
             self.norm_multiplier, self.desc_mode, self.filter_max_extrema,
             self.filter_grid_size, self.grid_filter_mode,
-            self.ext_capacity, self.ori_capacity,
+            self.ext_capacity, self.ori_capacity, self.desc_transfer,
         )
 
     def __eq__(self, other) -> bool:  # mirrors operator== (sift_conf.h:411)

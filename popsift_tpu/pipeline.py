@@ -31,8 +31,7 @@ import numpy as np
 
 from .config import Config, ImageMode, LogMode, ProcessingMode
 from .extract import get_extractor, normalize_input
-from .features import (FeaturesBase, FeaturesDev, FeaturesHost,
-                       assemble_features, assemble_features_dev)
+from .features import FeaturesBase, FeaturesDev, FeaturesHost
 
 
 class AllocTest(enum.Enum):
@@ -266,13 +265,15 @@ class PopSift:
                 job.set_error(e)
             self._queue_stage2.put(job)
 
-    def _run_extraction(self, job: SiftJob):
+    def _run_extraction(self, job: SiftJob, want_dev: bool = False):
         """Staged extraction (host count readback + bucketed compiles,
         the analog of the reference's counter readback + realloc between
-        stages, sift_pyramid.cu:373-376 / s_orientation.cu:364-441)."""
+        stages, sift_pyramid.cu:373-376 / s_orientation.cu:364-441);
+        steady state takes the packed fused path (one dispatch, one
+        compact readback)."""
         from .staged import get_staged_extractor
         ex = get_staged_extractor(self._config, job._w, job._h)
-        return ex.extract(job.get_img()), ex.plan
+        return ex.extract_features(job.get_img(), want_dev=want_dev)
 
     def _extract_download_loop(self) -> None:
         while True:
@@ -280,9 +281,7 @@ class PopSift:
             if job is None:
                 return
             try:
-                result, plan = self._run_extraction(job)
-                feats = assemble_features(
-                    result, self._config.get_upscale_factor())
+                feats = self._run_extraction(job)
                 self._pool.release()  # image no longer needed
                 if self._config.log_mode == LogMode.ALL:
                     from .debugdump import dump_all
@@ -299,9 +298,7 @@ class PopSift:
             if job is None:
                 return
             try:
-                result, plan = self._run_extraction(job)
-                feats = assemble_features_dev(
-                    result, self._config.get_upscale_factor())
+                feats = self._run_extraction(job, want_dev=True)
                 self._pool.release()
                 job.set_features(feats)
             except BaseException as e:  # noqa: BLE001

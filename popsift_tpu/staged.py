@@ -71,7 +71,9 @@ class StagedExtractor:
         self._stage2 = {}
         self._stage3 = {}
         self._fused = {}
+        self._fused_packed = {}
         self._last_buckets = None
+        self._last_key5 = None
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
@@ -200,8 +202,145 @@ class StagedExtractor:
                 d = ops_desc.normalize_rootsift(d, plan.norm_multi, ovalid)
             else:
                 d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
-            descs.append(d)
+            descs.append(self._quantize_descs(d))
         return descs
+
+    # ------------------------------------------------------------------
+    # Descriptor transfer precision (Config.desc_transfer): normalised
+    # descriptors are bounded by 2^norm_multi, so 16-bit fixed point keeps
+    # absolute error <= 2^norm_multi/131070 while quartering the D2H
+    # payload — which on a remotely-attached TPU is the throughput ceiling
+    # (the reference's PCIe D2H, sift_pyramid.cu:304-318, has no such
+    # bottleneck).
+    def _quantize_descs(self, d):
+        if self.config.desc_transfer != "u16":
+            return d
+        bound = 2.0 ** self.plan.norm_multi
+        q = jnp.round(jnp.clip(d, 0.0, bound) * (65535.0 / bound))
+        return q.astype(jnp.uint16)
+
+    def _dequantize_descs(self, arr):
+        if arr.dtype != np.uint16:
+            return arr
+        bound = 2.0 ** self.plan.norm_multi
+        return arr.astype(np.float32) * (bound / 65535.0)
+
+    def _finalize_body(self, exts, oris, descs, ks, bs, ft: int, bt: int):
+        """Device-side feature finalisation: the analog of prep_features
+        (sift_pyramid.cu:250-280) plus global compaction.
+
+        Packs the per-octave bucketed buffers into global SoA arrays sized
+        by total-count buckets (ft features, bt descriptors): coordinates
+        scaled by 2^(octave - upscale), per-feature descriptor indices,
+        and the descriptor->feature reverse map (feat_to_ext_map analog).
+        Packing on device shrinks the D2H payload to ~the true feature
+        count — on a remotely-attached TPU the download wire is the
+        throughput ceiling."""
+        plan = self.plan
+        up = plan.upscale_factor
+
+        parts = [o for o in range(plan.octaves) if ks[o] > 0]
+        if not parts or ft == 0:
+            z = jnp.zeros((max(ft, 1),), jnp.float32)
+            zi = jnp.zeros((max(ft, 1),), jnp.int32)
+            return dict(
+                x=z, y=z, sigma=z, num_ori=zi, idx_ori=zi, octave=zi,
+                orientation=jnp.zeros((max(ft, 1), 4), jnp.float32),
+                desc=jnp.zeros((max(bt, 1), 128), descs[0].dtype
+                               if descs else jnp.float32),
+                rev=jnp.zeros((max(bt, 1),), jnp.int32),
+                ext_total=jnp.int32(0), ori_total=jnp.int32(0))
+
+        # --- concatenated per-part ext fields (static offsets off_e)
+        xs, ys, sg, nm, il, an = [], [], [], [], [], []
+        ecnt, dcnt = [], []
+        for o in parts:
+            k, b = ks[o], bs[o]
+            e = exts[o]
+            nums, angs, incl = oris[o]
+            scale = jnp.float32(2.0 ** (o - up))
+            xs.append(e.xpos[:k] * scale)
+            ys.append(e.ypos[:k] * scale)
+            sg.append(e.sigma[:k] * scale)
+            nm.append(nums)
+            il.append(incl - nums)
+            an.append(angs)
+            ecnt.append(jnp.minimum(e.count, k).astype(jnp.int32))
+            dcnt.append(jnp.minimum(incl[-1], b).astype(jnp.int32)
+                        if b > 0 else jnp.int32(0))
+        ke = [ks[o] for o in parts]
+        off_e = np.concatenate([[0], np.cumsum(ke)]).astype(np.int32)
+        xs_c = jnp.concatenate(xs)
+        ys_c = jnp.concatenate(ys)
+        sg_c = jnp.concatenate(sg)
+        nm_c = jnp.concatenate(nm)
+        il_c = jnp.concatenate(il)
+        an_c = jnp.concatenate(an, axis=0)
+        ecnt_v = jnp.stack(ecnt)
+        dcnt_v = jnp.stack(dcnt)
+        bounds_e = jnp.cumsum(ecnt_v)
+        desc_base = jnp.cumsum(dcnt_v) - dcnt_v
+
+        np_parts = jnp.asarray(np.asarray(parts, np.int32))
+        kmax = jnp.asarray(np.asarray(ke, np.int32) - 1)
+
+        i = jnp.arange(ft, dtype=jnp.int32)
+        p = jnp.clip(jnp.searchsorted(bounds_e, i, side="right"),
+                     0, len(parts) - 1).astype(jnp.int32)
+        start = bounds_e[p] - ecnt_v[p]
+        local = jnp.clip(i - start, 0, kmax[p])
+        src = jnp.asarray(off_e[:-1])[p] + local
+        valid_f = i < bounds_e[-1]
+
+        nums_g = jnp.where(valid_f, nm_c[src], 0)
+        idxl_g = il_c[src]
+        num_eff = jnp.maximum(jnp.minimum(nums_g, dcnt_v[p] - idxl_g), 0)
+        feat = dict(
+            x=jnp.where(valid_f, xs_c[src], 0.0),
+            y=jnp.where(valid_f, ys_c[src], 0.0),
+            sigma=jnp.where(valid_f, sg_c[src], 0.0),
+            num_ori=num_eff,
+            idx_ori=jnp.where(valid_f, idxl_g + desc_base[p], 0),
+            octave=jnp.where(valid_f, np_parts[p], 0),
+            orientation=an_c[src],
+        )
+
+        # --- descriptor packing (row gather over the concat of buckets)
+        dparts = [o for o in parts if bs[o] > 0]
+        if dparts and bt > 0:
+            d_c = jnp.concatenate([descs[o] for o in dparts], axis=0)
+            be = [bs[o] for o in dparts]
+            off_d = np.concatenate([[0], np.cumsum(be)]).astype(np.int32)
+            sel = [parts.index(o) for o in dparts]
+            dcnt_d = dcnt_v[jnp.asarray(np.asarray(sel, np.int32))]
+            bounds_d = jnp.cumsum(dcnt_d)
+            bmax = jnp.asarray(np.asarray(be, np.int32) - 1)
+            j = jnp.arange(bt, dtype=jnp.int32)
+            q = jnp.clip(jnp.searchsorted(bounds_d, j, side="right"),
+                         0, len(dparts) - 1).astype(jnp.int32)
+            start_d = bounds_d[q] - dcnt_d[q]
+            local_d = jnp.clip(j - start_d, 0, bmax[q])
+            src_d = jnp.asarray(off_d[:-1])[q] + local_d
+            valid_d = j < bounds_d[-1]
+            drows = jnp.where(valid_d[:, None], d_c[src_d], 0)
+            ori_total = bounds_d[-1]
+        else:
+            drows = jnp.zeros((max(bt, 1), 128),
+                              descs[0].dtype if descs else jnp.float32)
+            valid_d = jnp.zeros((max(bt, 1),), bool)
+            j = jnp.arange(max(bt, 1), dtype=jnp.int32)
+            ori_total = jnp.int32(0)
+
+        # reverse map descriptor -> global feature (feat_to_ext_map,
+        # excl_blk_prefix_sum.h:30-145)
+        g_incl = jnp.cumsum(num_eff)
+        rev = jnp.where(valid_d,
+                        jnp.searchsorted(g_incl, j, side="right")
+                        .astype(jnp.int32), 0)
+
+        feat.update(desc=drows, rev=rev, ext_total=bounds_e[-1],
+                    ori_total=ori_total)
+        return feat
 
     def _get_stage1b(self, cks: tuple[int, ...]):
         fn = self._stage1b.get(cks)
@@ -253,6 +392,102 @@ class StagedExtractor:
             fn = jax.jit(fused)
             self._fused[key] = fn
         return fn
+
+    def _get_fused_packed(self, key: tuple):
+        """Stage1a..finalize in ONE jitted program for a known bucket
+        5-tuple (cks, ks, bs, ft, bt): one dispatch, one compact
+        readback."""
+        fn = self._fused_packed.get(key)
+        if fn is None:
+            cks, ks, bs, ft, bt = key
+
+            def fused(image):
+                s1 = self._stage1a_fn(image)
+                exts, counts, overflows = self._stage1b_body(
+                    s1["dogs"], s1["cands"], cks)
+                oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
+                descs = self._stage3_body(
+                    s1["grads"], s1["stacks"], exts, oris, ks, bs)
+                packed = self._finalize_body(exts, oris, descs, ks, bs,
+                                             ft, bt)
+                dev_desc = self._dequantize_descs_dev(packed["desc"])
+                transfer = dict(packed)
+                transfer.update(
+                    cand_counts=s1["cand_counts"], counts=counts,
+                    ori_counts=ori_counts, overflows=overflows)
+                return dict(transfer=transfer, dev_desc=dev_desc)
+
+            fn = jax.jit(fused)
+            self._fused_packed[key] = fn
+        return fn
+
+    def _dequantize_descs_dev(self, d):
+        if d.dtype == jnp.uint16:
+            bound = 2.0 ** self.plan.norm_multi
+            return d.astype(jnp.float32) * (bound / 65535.0)
+        return d
+
+    # ------------------------------------------------------------------
+    def extract_features(self, image, want_dev: bool = False):
+        """Extract and return a FeaturesHost (or FeaturesDev) directly.
+
+        Fast path: the packed fused program — one dispatch, one compact
+        readback of globally-packed SoA feature arrays (finalisation that
+        the reference does in prep_features + the host pin/download,
+        sift_pyramid.cu:250-322, all happens on device).  Falls back to
+        the exact staged path on the first image or bucket overflow."""
+        from .features import assemble_features, assemble_features_dev
+
+        key = self._last_key5
+        if key is not None:
+            cks, ks, bs, ft, bt = key
+            out = self._get_fused_packed(key)(image)
+            tr = dict(out["transfer"])
+            if want_dev:
+                tr.pop("desc")  # descriptors stay device-resident
+            t = jax.device_get(tr)
+            cand_counts = t["cand_counts"]
+            counts = t["counts"]
+            ori_counts = t["ori_counts"]
+            ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
+                  and all(int(c) <= ks[o] for o, c in enumerate(counts))
+                  and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))
+                  and int(t["ext_total"]) <= ft
+                  and int(t["ori_total"]) <= bt)
+            if ok:
+                self._update_buckets(cand_counts, counts, ori_counts)
+                return self._features_from_packed(
+                    t, out["dev_desc"], want_dev)
+
+        # exact path (first image or bucket overflow)
+        result = self.extract(image)
+        if want_dev:
+            return assemble_features_dev(result, self.plan.upscale_factor)
+        return assemble_features(result, self.plan.upscale_factor)
+
+    def _features_from_packed(self, t, dev_desc, want_dev: bool):
+        from .constants import ORIENTATION_MAX_COUNT
+        from .features import FeaturesDev, FeaturesHost
+
+        n = int(t["ext_total"])
+        m = int(t["ori_total"])
+        num = np.asarray(t["num_ori"][:n], np.int32)
+        if want_dev:
+            features = dict(
+                xpos=np.asarray(t["x"][:n]), ypos=np.asarray(t["y"][:n]),
+                sigma=np.asarray(t["sigma"][:n]), num_ori=num)
+            return FeaturesDev(features, dev_desc[:m],
+                               np.asarray(t["rev"][:m], np.int64))
+        idx0 = np.asarray(t["idx_ori"][:n], np.int64)
+        kk = np.arange(ORIENTATION_MAX_COUNT, dtype=np.int64)[None, :]
+        didx = np.where(kk < num[:, None], idx0[:, None] + kk, -1)
+        soa = dict(
+            xpos=t["x"][:n], ypos=t["y"][:n], sigma=t["sigma"][:n],
+            num_ori=num, orientation=t["orientation"][:n],
+            desc_idx=didx, debug_octave=t["octave"][:n])
+        return FeaturesHost(soa=soa,
+                            descriptors=self._dequantize_descs(
+                                t["desc"][:m]))
 
     # ------------------------------------------------------------------
     def extract(self, image) -> dict[str, Any]:
@@ -346,6 +581,16 @@ class StagedExtractor:
                    for o, c in enumerate(ori_counts))
         self._last_buckets = (cks, ks, bs)
 
+        # total-count buckets for the packed finalize stage
+        ext_total = sum(min(int(c), ks[o]) for o, c in enumerate(counts))
+        ori_total = sum(min(int(c), bs[o])
+                        for o, c in enumerate(ori_counts))
+        lf, lb = ((self._last_key5[3], self._last_key5[4])
+                  if self._last_key5 else (0, 0))
+        ft = min(step(lf, ext_total, sum(plan.ext_caps)), sum(ks))
+        bt = min(step(lb, ori_total, sum(plan.ori_caps)), sum(bs))
+        self._last_key5 = (cks, ks, bs, ft, bt)
+
     def _package_host(self, host, counts, ori_counts,
                       ks, bs) -> dict[str, Any]:
         """Assemble the result pytree (layout-compatible with
@@ -376,7 +621,7 @@ class StagedExtractor:
                 count=np.int32(min(int(counts[o]), k)),
                 overflow=host["overflows"][o],
                 num_ori=nums, orientations=angs, idx_ori=idx_ori,
-                desc=host["descs"][o],
+                desc=self._dequantize_descs(host["descs"][o]),
                 ori_valid=j < ori_count,
                 ori_count=np.int32(ori_count),
                 ori_overflow=np.int32(max(0, int(ori_counts[o]) - b)),

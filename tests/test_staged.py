@@ -47,6 +47,62 @@ def test_staged_matches_monolithic(blob_image):
     np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-5)
 
 
+def test_packed_fast_path_matches_exact(blob_image):
+    """extract_features' packed fused path (device-side finalize +
+    u16 transfer) must reproduce the exact path's FeaturesHost."""
+    h, w = blob_image.shape
+    cfg = Config()
+    norm = normalize_input(blob_image)
+
+    staged = StagedExtractor(cfg, w, h)
+    exact = staged.extract_features(norm)        # first call: exact path
+    assert staged._last_key5 is not None
+    packed = staged.extract_features(norm)       # second call: packed path
+    assert staged._fused_packed, "packed fused program was not used"
+
+    assert packed.get_feature_count() == exact.get_feature_count()
+    assert packed.get_descriptor_count() == exact.get_descriptor_count()
+
+    sa = exact._soa
+    sb = packed._soa
+    order_a = np.lexsort((sa["ypos"], sa["xpos"]))
+    order_b = np.lexsort((sb["ypos"], sb["xpos"]))
+    for k in ("xpos", "ypos", "sigma"):
+        np.testing.assert_allclose(
+            np.asarray(sa[k])[order_a], np.asarray(sb[k])[order_b],
+            rtol=1e-6, atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(sa["num_ori"])[order_a],
+                                  np.asarray(sb["num_ori"])[order_b])
+    np.testing.assert_array_equal(np.asarray(sa["debug_octave"])[order_a],
+                                  np.asarray(sb["debug_octave"])[order_b])
+    np.testing.assert_allclose(
+        np.asarray(sa["orientation"])[order_a],
+        np.asarray(sb["orientation"])[order_b], rtol=1e-6, atol=1e-6)
+
+    # descriptors: compare per-feature through desc_idx (row order of the
+    # descriptor matrix may differ between layouts)
+    for ia, ib in zip(order_a, order_b):
+        for k in range(int(sa["num_ori"][ia])):
+            da = exact.get_descriptors()[int(sa["desc_idx"][ia][k])]
+            db = packed.get_descriptors()[int(sb["desc_idx"][ib][k])]
+            np.testing.assert_allclose(da, db, rtol=1e-4, atol=2e-5)
+
+
+def test_packed_dev_path(blob_image):
+    h, w = blob_image.shape
+    cfg = Config()
+    norm = normalize_input(blob_image)
+    staged = StagedExtractor(cfg, w, h)
+    dev0 = staged.extract_features(norm, want_dev=True)   # exact path
+    dev1 = staged.extract_features(norm, want_dev=True)   # packed path
+    assert dev1.get_feature_count() == dev0.get_feature_count()
+    assert dev1.get_descriptor_count() == dev0.get_descriptor_count()
+    d0 = np.sort(np.asarray(dev0.get_descriptors()), axis=0)
+    d1 = np.sort(np.asarray(dev1.get_descriptors()), axis=0)
+    np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=2e-5)
+    assert dev1.get_reverse_map().shape[0] == dev1.get_descriptor_count()
+
+
 def test_staged_reuses_compiled_buckets(blob_image):
     h, w = blob_image.shape
     staged = StagedExtractor(Config(), w, h)

@@ -31,11 +31,11 @@ def main():
                 image, ex.gauss, plan.dims, plan.levels, plan.gauss_mode,
                 plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
             if stage == "pyr":
-                return jnp.stack([jnp.sum(s[-1, ::64, ::64])
+                return jnp.stack([jnp.sum(s[-1])
                                   for s in stacks])
             dogs = [P.make_dog(s) for s in stacks]
             if stage == "dog":
-                return jnp.stack([jnp.sum(d[-1, ::64, ::64])
+                return jnp.stack([jnp.sum(d[-1])
                                   for d in dogs])
             masks = [E.detect_candidates(d, plan.sift_mode,
                                          plan.peak_threshold)
@@ -48,7 +48,7 @@ def main():
             if stage == "cmp":
                 return jnp.stack([c[4] for c in cands])
             grads = [G.gradient_fields(s) for s in stacks]
-            return jnp.stack([jnp.sum(g[0][:, ::64, ::64])
+            return jnp.stack([jnp.sum(g[0])
                               for g in grads])
         return jax.jit(fn)
 

@@ -32,7 +32,7 @@ def main():
                 image, gauss, plan.dims, plan.levels, plan.gauss_mode,
                 plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
             if stage == "pyramid":
-                return sum(jnp.sum(s[-1, ::64, ::64]) for s in stacks)
+                return sum(jnp.sum(s[-1]) for s in stacks)
             dogs = [P.make_dog(s) for s in stacks]
             if stage == "detect":
                 acc = jnp.int32(0)
@@ -64,7 +64,7 @@ def main():
                 acc = jnp.float32(0)
                 for o in range(plan.octaves):
                     mag, theta = G.gradient_fields(stacks[o])
-                    acc += jnp.sum(mag[:, ::64, ::64])
+                    acc += jnp.sum(mag)
                 return acc
         return jax.jit(fn)
 
