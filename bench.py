@@ -59,7 +59,7 @@ def main() -> int:
 
         # timed: pipelined throughput, enqueue-all-then-drain like the
         # reference application (main.cpp:305-325)
-        n_jobs = 12
+        n_jobs = 24
         t0 = time.time()
         jobs = [ps.enqueue(w, h, images[i % len(images)])
                 for i in range(n_jobs)]

@@ -128,12 +128,20 @@ def make_plan(config: Config, width: int, height: int) -> ExtractorPlan:
     )
 
 
-def _dispatch_descriptors(plan, consts, stack, mag, theta,
+def grad_pad_dims(plan) -> tuple[int, int]:
+    """Shared pad of the per-octave [mag; theta] field: must cover the
+    window-DMA slab of BOTH the orientation and descriptor gathers."""
+    from .kernels.windows import aligned_window_dims
+    return aligned_window_dims(max(plan.ori_win, plan.desc_win))
+
+
+def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
                           ex, ey, el, es, ang, ovalid, w, h):
     """Descriptor-mode dispatch (sift_desc.cu:55-110)."""
     if plan.desc_mode == DescMode.LOOP:
         return ops_desc.loop_descriptors(
-            mag, theta, ex, ey, el, es, ang, ovalid, w, h, plan.desc_win)
+            field, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
+            plan.desc_win)
     if plan.desc_mode == DescMode.ILOOP:
         return ops_desc.iloop_descriptors(
             stack, ex, ey, el, es, ang, ovalid)
@@ -187,10 +195,11 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
     for o, stack in enumerate(stacks):
         w, h = plan.dims[o]
         ext = exts[o]
-        mag, theta = ops_grad.gradient_fields(stack)
+        pad_y, pad_x = grad_pad_dims(plan)
+        field = ops_grad.padded_gradient_field(stack, pad_y, pad_x)
 
         num_ori, orientations = ops_ori.assign_orientations(
-            mag, theta, ext.xpos, ext.ypos, ext.lpos, ext.sigma,
+            field, pad_y, pad_x, ext.xpos, ext.ypos, ext.lpos, ext.sigma,
             ext.valid, w, h, plan.ori_win)
 
         nums = jnp.where(ext.valid, num_ori, 0)
@@ -213,8 +222,8 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
         es = ext.sigma[e]
 
         desc = _dispatch_descriptors(
-            plan, consts, stack, mag, theta, ex, ey, el, es, ang, ovalid,
-            w, h)
+            plan, consts, stack, field, pad_y, pad_x, ex, ey, el, es, ang,
+            ovalid, w, h)
 
         if plan.norm_mode == NormMode.ROOT_SIFT:
             desc = ops_desc.normalize_rootsift(desc, plan.norm_multi, ovalid)

@@ -63,26 +63,23 @@ def _tile_offsets() -> np.ndarray:
     return np.arange(4, dtype=np.float32) - 1.5
 
 
-def loop_descriptors(mag: jnp.ndarray, theta: jnp.ndarray,
+def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
                      xpos, ypos, lpos, sigma, ang, valid,
                      w: int, h: int, win: int,
                      chunk: int = 64) -> jnp.ndarray:
     """Loop-mode descriptors for a batch of (keypoint, orientation) slots.
 
-    mag/theta : (L, H, W) gradient fields of the octave.
+    both : (2L, H+2*pad_y, W+2*pad_x) padded [mag; theta] field of the
+    octave (ops.gradients.padded_gradient_field) — shared with the
+    orientation stage so the pad+concat copy happens once.
     Returns (cap, 128) unnormalised descriptors in [ty, tx, bin] order
     (matching the reference's ``tile = ((iy*4+ix)*8)`` layout,
     s_desc_loop.cu:29).
     """
-    from ..kernels.windows import aligned_window_dims
     from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
 
-    pad_y, pad_x = aligned_window_dims(win)  # covers the 256-wide slab
     win_y, win_x = rolled_window_dims(win)
-    L = mag.shape[0]
-    # stack mag+theta so one DMA kernel call fetches both windows
-    both = jnp.pad(jnp.concatenate([mag, theta], axis=0),
-                   ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+    L = both.shape[0] // 2
     offs = jnp.asarray(_tile_offsets())
 
     def one_slot(mw, tw, x, y, x0, y0, sig, a, vld):

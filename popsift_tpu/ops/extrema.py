@@ -322,7 +322,21 @@ def refine_extrema(dog: jnp.ndarray,
         st2["done_iter"] = jnp.where(active & new_done, it, st["done_iter"])
         return st2
 
-    st = jax.lax.fori_loop(1, MAX_ITERATIONS + 1, body, state)
+    # Early-exit iteration: the reference's per-thread loop breaks as soon
+    # as a candidate stops moving (s_extrema.cu:362-430); on natural images
+    # almost every candidate converges on the first iteration, so a global
+    # all-converged exit skips most of the 5 dense gather passes.  Results
+    # are bit-identical to the fixed fori_loop: the body is a no-op for
+    # slots already done/failed.
+    def cond(carry):
+        it, st = carry
+        return (it <= MAX_ITERATIONS) & jnp.any(~st["done"] & ~st["failed"])
+
+    def wbody(carry):
+        it, st = carry
+        return it + 1, body(it, st)
+
+    _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(1), state))
 
     ok = cand_valid & ~st["failed"]
 

@@ -26,3 +26,18 @@ def gradient_fields(stack: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     mag = jnp.hypot(dx, dy)
     theta = jnp.arctan2(dy, dx)
     return mag, theta
+
+
+def padded_gradient_field(stack: jnp.ndarray, pad_y: int,
+                          pad_x: int) -> jnp.ndarray:
+    """Zero-padded ``[mag; theta]`` concat along the level axis.
+
+    This is the shared window-gather source for the orientation AND
+    descriptor stages: one materialisation per octave instead of one
+    pad+concat copy per stage (each a full-array HBM round trip — the
+    octave-0 copy alone is ~0.5 GB).  Pad values are never *used* (every
+    consumer masks to image bounds) but must be finite.
+    """
+    mag, theta = gradient_fields(stack)
+    return jnp.pad(jnp.concatenate([mag, theta], axis=0),
+                   ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))

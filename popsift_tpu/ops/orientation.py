@@ -136,7 +136,7 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
     return jnp.stack(cols, axis=-1)
 
 
-def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
+def assign_orientations(bothp: jnp.ndarray, pad_y: int, pad_x: int,
                         xpos: jnp.ndarray, ypos: jnp.ndarray,
                         lpos: jnp.ndarray, sigma: jnp.ndarray,
                         valid: jnp.ndarray,
@@ -145,17 +145,14 @@ def assign_orientations(mag: jnp.ndarray, theta: jnp.ndarray,
                         chunk: int = 256):
     """Compute up to ``max_count`` orientations per extremum slot.
 
-    mag/theta : (L, H, W) gradient fields of this octave.
+    bothp : (2L, H+2*pad_y, W+2*pad_x) padded [mag; theta] field of this
+    octave (ops.gradients.padded_gradient_field; pads must cover the
+    window DMA slab: pad_y >= rolled rows, pad_x >= 256).
     Returns (num_ori (cap,), orientations (cap, max_count)) with orientation
     peaks in descending-strength order (the CUDA kernel writes them in
     bitonic-sorted order too, s_orientation.cu:239-248).
     """
-    from ..kernels.windows import aligned_window_dims
-    win_y, win_x = aligned_window_dims(win)
-    pad_y, pad_x = win_y, win_x  # padding must still cover the 256 slab
-    bothp = jnp.pad(jnp.concatenate([mag, theta], axis=0),
-                    ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
-    n_levels = mag.shape[0]
+    n_levels = bothp.shape[0] // 2
 
     cap = xpos.shape[0]
     chunk = min(chunk, max(cap, 1))

@@ -106,7 +106,10 @@ class StagedExtractor:
                 cand_counts.append(ccount)
                 cand_overflows.append(coverflow)
         with scope("gradients"):
-            grads = [ops_grad.gradient_fields(s) for s in stacks]
+            from .extract import grad_pad_dims
+            pad_y, pad_x = grad_pad_dims(plan)
+            grads = [ops_grad.padded_gradient_field(s, pad_y, pad_x)
+                     for s in stacks]
         return dict(stacks=stacks, dogs=dogs, grads=grads, cands=cands,
                     cand_counts=jnp.stack(cand_counts),
                     cand_overflows=jnp.stack(cand_overflows))
@@ -160,10 +163,11 @@ class StagedExtractor:
                 ori_counts.append(jnp.int32(0))
                 continue
             w, h = plan.dims[o]
-            mag, theta = grads[o]
+            from .extract import grad_pad_dims
+            pad_y, pad_x = grad_pad_dims(plan)
             e = exts[o]
             num_ori, oris = ops_ori.assign_orientations(
-                mag, theta, e.xpos[:k], e.ypos[:k], e.lpos[:k],
+                grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k], e.lpos[:k],
                 e.sigma[:k], e.valid[:k], w, h, plan.ori_win)
             nums = jnp.where(e.valid[:k], num_ori, 0)
             incl = jnp.cumsum(nums)
@@ -180,7 +184,6 @@ class StagedExtractor:
                 descs.append(jnp.zeros((0, 128), jnp.float32))
                 continue
             w, h = plan.dims[o]
-            mag, theta = grads[o]
             e = exts[o]
             nums, angs, incl = oris[o]
             idx_ori = incl - nums
@@ -194,9 +197,10 @@ class StagedExtractor:
             ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
             el, es = e.lpos[:k][ei], e.sigma[:k][ei]
 
-            from .extract import _dispatch_descriptors
+            from .extract import _dispatch_descriptors, grad_pad_dims
+            pad_y, pad_x = grad_pad_dims(plan)
             d = _dispatch_descriptors(
-                plan, self.consts, stacks[o], mag, theta,
+                plan, self.consts, stacks[o], grads[o], pad_y, pad_x,
                 ex, ey, el, es, ang, ovalid, w, h)
             if plan.norm_mode == NormMode.ROOT_SIFT:
                 d = ops_desc.normalize_rootsift(d, plan.norm_multi, ovalid)

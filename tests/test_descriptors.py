@@ -66,13 +66,16 @@ def _loop_desc(texture, x, y, sigma, ang):
     stack = jnp.asarray(texture[None])
     mag, theta = G.gradient_fields(stack)
     win = D.desc_window_size(1.6, 3)
-    f = jax.jit(lambda m, t: D.loop_descriptors(
-        m, t,
+    from popsift_tpu.kernels.windows import aligned_window_dims
+    pad_y, pad_x = aligned_window_dims(win)
+    field = G.padded_gradient_field(stack, pad_y, pad_x)
+    f = jax.jit(lambda fld: D.loop_descriptors(
+        fld, pad_y, pad_x,
         jnp.asarray([x], jnp.float32), jnp.asarray([y], jnp.float32),
         jnp.asarray([0], jnp.int32), jnp.asarray([sigma], jnp.float32),
         jnp.asarray([ang], jnp.float32), jnp.asarray([True]),
         w, h, win))
-    return np.asarray(f(mag, theta))[0], np.asarray(mag)[0], \
+    return np.asarray(f(field))[0], np.asarray(mag)[0], \
         np.asarray(theta)[0]
 
 
@@ -89,10 +92,12 @@ def test_loop_descriptor_matches_numpy_golden(texture):
 def test_loop_descriptor_invalid_slot_zero(texture):
     h, w = texture.shape
     stack = jnp.asarray(texture[None])
-    mag, theta = G.gradient_fields(stack)
     win = D.desc_window_size(1.6, 3)
+    from popsift_tpu.kernels.windows import aligned_window_dims
+    pad_y, pad_x = aligned_window_dims(win)
+    field = G.padded_gradient_field(stack, pad_y, pad_x)
     out = D.loop_descriptors(
-        mag, theta, jnp.asarray([40.0]), jnp.asarray([30.0]),
+        field, pad_y, pad_x, jnp.asarray([40.0]), jnp.asarray([30.0]),
         jnp.asarray([0]), jnp.asarray([1.6]), jnp.asarray([0.0]),
         jnp.asarray([False]), w, h, win)
     assert float(jnp.abs(out).sum()) == 0.0

@@ -30,17 +30,19 @@ def test_gradient_clamped_borders():
 
 def _run_orientation(img, x, y, sigma=1.6):
     stack = jnp.asarray(img[None].astype(np.float32))
-    mag, theta = G.gradient_fields(stack)
     win = O.ori_window_size(1.6, 3)
+    from popsift_tpu.kernels.windows import aligned_window_dims
+    pad_y, pad_x = aligned_window_dims(win)
+    field = G.padded_gradient_field(stack, pad_y, pad_x)
     h, w = img.shape
     xp = jnp.asarray([x], jnp.float32)
     yp = jnp.asarray([y], jnp.float32)
     lp = jnp.asarray([0], jnp.int32)
     sg = jnp.asarray([sigma], jnp.float32)
     vd = jnp.asarray([True])
-    f = jax.jit(lambda m, t: O.assign_orientations(
-        m, t, xp, yp, lp, sg, vd, w, h, win))
-    return f(mag, theta)
+    f = jax.jit(lambda fld: O.assign_orientations(
+        fld, pad_y, pad_x, xp, yp, lp, sg, vd, w, h, win))
+    return f(field)
 
 
 def test_dominant_orientation_of_ramp():
@@ -78,10 +80,12 @@ def test_two_peaks_multiple_orientations():
 def test_invalid_slot_gets_zero():
     img = np.tile(np.arange(32, dtype=np.float32), (32, 1))
     stack = jnp.asarray(img[None])
-    mag, theta = G.gradient_fields(stack)
     win = O.ori_window_size(1.6, 3)
+    from popsift_tpu.kernels.windows import aligned_window_dims
+    pad_y, pad_x = aligned_window_dims(win)
+    field = G.padded_gradient_field(stack, pad_y, pad_x)
     num, oris = O.assign_orientations(
-        mag, theta, jnp.asarray([16.0]), jnp.asarray([16.0]),
+        field, pad_y, pad_x, jnp.asarray([16.0]), jnp.asarray([16.0]),
         jnp.asarray([0]), jnp.asarray([1.6]),
         jnp.asarray([False]), 32, 32, win)
     assert int(num[0]) == 0

@@ -36,22 +36,23 @@ def build(stage: str, plan, gauss, consts):
             for o in range(plan.octaves)]
         if stage == "extrema":
             return exts
-        grads = [G.gradient_fields(s) for s in stacks]
+        from popsift_tpu.extract import grad_pad_dims
+        pad_y, pad_x = grad_pad_dims(plan)
+        grads = [G.padded_gradient_field(s, pad_y, pad_x) for s in stacks]
         if stage == "gradients":
             return grads
         oris = []
         for o in range(plan.octaves):
             w, h = plan.dims[o]
-            mag, theta = grads[o]
             oris.append(O.assign_orientations(
-                mag, theta, exts[o].xpos, exts[o].ypos, exts[o].lpos,
+                grads[o], pad_y, pad_x,
+                exts[o].xpos, exts[o].ypos, exts[o].lpos,
                 exts[o].sigma, exts[o].valid, w, h, plan.ori_win))
         if stage == "orientation":
             return oris
         descs = []
         for o in range(plan.octaves):
             w, h = plan.dims[o]
-            mag, theta = grads[o]
             ocap = plan.ori_caps[o]
             num_ori, angs = oris[o]
             nums = jnp.where(exts[o].valid, num_ori, 0)
@@ -64,7 +65,7 @@ def build(stage: str, plan, gauss, consts):
             k = jnp.clip(j - idx_ori[e], 0, 3)
             ang = angs[e, k]
             descs.append(D.loop_descriptors(
-                mag, theta, exts[o].xpos[e], exts[o].ypos[e],
+                grads[o], pad_y, pad_x, exts[o].xpos[e], exts[o].ypos[e],
                 exts[o].lpos[e], exts[o].sigma[e], ang, ovalid,
                 w, h, plan.desc_win))
         return descs

@@ -72,23 +72,25 @@ def main():
     ext = timed("compact_ext[o0]", cex_fn, *refined)
     print("  ext count:", int(ext.count))
 
-    grad_fn = jax.jit(G.gradient_fields)
-    mag, theta = timed("gradients[o0]", grad_fn, stacks[o])
+    from popsift_tpu.extract import grad_pad_dims
+    pad_y, pad_x = grad_pad_dims(plan)
+    grad_fn = jax.jit(lambda st: G.padded_gradient_field(st, pad_y, pad_x))
+    field = timed("gradients[o0]", grad_fn, stacks[o])
 
     wgt, hgt = plan.dims[o]
-    ori_fn = jax.jit(lambda m, t, e: O.assign_orientations(
-        m, t, e.xpos, e.ypos, e.lpos, e.sigma, e.valid, wgt, hgt,
-        plan.ori_win))
-    num_ori, oris = timed("orientation[o0]", ori_fn, mag, theta, ext)
+    ori_fn = jax.jit(lambda f, e: O.assign_orientations(
+        f, pad_y, pad_x, e.xpos, e.ypos, e.lpos, e.sigma, e.valid,
+        wgt, hgt, plan.ori_win))
+    num_ori, oris = timed("orientation[o0]", ori_fn, field, ext)
 
     ocap = plan.ori_caps[o]
     ang = jnp.zeros((ocap,), jnp.float32)
     ovalid = jnp.arange(ocap) < jnp.sum(jnp.where(ext.valid, num_ori, 0))
     idx = jnp.clip(jnp.arange(ocap), 0, plan.ext_caps[o] - 1)
-    desc_fn = jax.jit(lambda m, t, e: D.loop_descriptors(
-        m, t, e.xpos[idx], e.ypos[idx], e.lpos[idx], e.sigma[idx],
-        ang, ovalid, wgt, hgt, plan.desc_win))
-    timed("descriptors[o0]", desc_fn, mag, theta, ext)
+    desc_fn = jax.jit(lambda f, e: D.loop_descriptors(
+        f, pad_y, pad_x, e.xpos[idx], e.ypos[idx], e.lpos[idx],
+        e.sigma[idx], ang, ovalid, wgt, hgt, plan.desc_win))
+    timed("descriptors[o0]", desc_fn, field, ext)
 
     grid_fn = jax.jit(lambda s, e: D.grid_descriptors(
         s, e.xpos[idx], e.ypos[idx], e.lpos[idx], e.sigma[idx],
