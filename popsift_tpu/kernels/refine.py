@@ -25,8 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 _DEPTH = 8
 
 
-def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, dog_ref, out_ref,
-            slab, obuf, sems, osems):
+def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, act_ref, dog_ref,
+            out_ref, slab, obuf, sems, osems):
     n = out_ref.shape[0]
 
     def mk(i, slot):
@@ -38,6 +38,11 @@ def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, dog_ref, out_ref,
             sems.at[slot],
         )
 
+    def start(i, slot):
+        @pl.when(act_ref[i] != 0)
+        def _():
+            mk(i, slot).start()
+
     def mk_out(i, slot):
         return pltpu.make_async_copy(
             obuf.at[slot], out_ref.at[i], osems.at[slot])
@@ -45,14 +50,16 @@ def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, dog_ref, out_ref,
     # prefetch distance is _DEPTH-1, NOT _DEPTH: slot (i+_DEPTH)%_DEPTH ==
     # i%_DEPTH would overwrite the slab this iteration is about to read
     for i in range(min(_DEPTH - 1, n)):
-        mk(i, i % _DEPTH).start()
+        start(i, i % _DEPTH)
 
     def body(i, _):
         @pl.when(i + _DEPTH - 1 < n)
         def _():
-            mk(i + _DEPTH - 1, (i + _DEPTH - 1) % _DEPTH).start()
+            start(i + _DEPTH - 1, (i + _DEPTH - 1) % _DEPTH)
 
-        mk(i, i % _DEPTH).wait()
+        @pl.when(act_ref[i] != 0)
+        def _():
+            mk(i, i % _DEPTH).wait()
 
         s = slab[i % _DEPTH].reshape(48, 256)
         dy0 = dy_ref[i]
@@ -99,11 +106,11 @@ def _kernel(za_ref, ya_ref, xa_ref, dy_ref, dx_ref, dog_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
+def _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0, active,
                      interpret: bool = False):
     n = za.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -119,15 +126,22 @@ def _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(za.astype(jnp.int32), ya.astype(jnp.int32), xa.astype(jnp.int32),
-      dy0.astype(jnp.int32), dx0.astype(jnp.int32), dog_padded)
+      dy0.astype(jnp.int32), dx0.astype(jnp.int32),
+      active.astype(jnp.int32), dog_padded)
 
 
-def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
+def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z, active=None,
              interpret: bool | None = None) -> jnp.ndarray:
     """Batched 27-point neighbourhood read around (z, y, x) centres.
 
     dog_padded : (L, Hp, Wp) with Hp multiple of 8 (>= 16) and Wp multiple
     of 128 (>= 256).  Returns (N, 3, 3, 3) with [dz, dy, dx] offsets.
+
+    ``active`` (optional bool (N,)): slots marked inactive skip their DMA
+    entirely and return stale/undefined values — callers must mask their
+    results (the Newton loop does: converged slots keep their prior
+    state).  DMA issue cost dominates, so this makes iterations 2..5 of
+    the refinement loop nearly free once most candidates converge.
     """
     L, Hp, Wp = dog_padded.shape
     z = jnp.clip(n_z, 1, L - 2)
@@ -138,6 +152,10 @@ def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
     xa = jnp.minimum((x - 1) // 128 * 128, Wp - 256)
     dy0 = (y - 1) - ya
     dx0 = (x - 1) - xa
+    if active is None:
+        act = jnp.ones(z.shape, jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
 
     from .dispatch import pallas_enabled
     use_pallas = pallas_enabled() if interpret is None else True
@@ -148,10 +166,10 @@ def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
         from .refine_batch import GROUP, gather27_batch_pallas
         if z.shape[0] % GROUP == 0:
             out = gather27_batch_pallas(dog_padded, za, ya, xa, dy0, dx0,
-                                        interpret=bool(interpret))
+                                        act, interpret=bool(interpret))
         else:
             out = _gather27_pallas(dog_padded, za, ya, xa, dy0, dx0,
-                                   interpret=bool(interpret))
+                                   act, interpret=bool(interpret))
         return out[:, :, :3].reshape(-1, 3, 3, 3)
 
     # XLA fallback: flat gather

@@ -21,32 +21,40 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 16
 
 
-def _kernel(za_ref, ya_ref, xa_ref, dog_ref, dy_ref, dx_ref, out_ref,
-            slabs, sems):
+def _kernel(za_ref, ya_ref, xa_ref, act_ref, dog_ref, dy_ref, dx_ref,
+            out_ref, slabs, sems):
     g = pl.program_id(0)
     n_groups = pl.num_programs(0)
 
+    def mk(i, slot, j):
+        return pltpu.make_async_copy(
+            dog_ref.at[pl.ds(za_ref[i], 3),
+                       pl.ds(pl.multiple_of(ya_ref[i], 8), 16),
+                       pl.ds(pl.multiple_of(xa_ref[i], 128), 256)],
+            slabs.at[slot, j],
+            sems.at[slot, j],
+        )
+
+    # DMAs are skipped for inactive slots (already-converged candidates on
+    # Newton iterations >= 2, invalid padding slots): the slab then holds
+    # stale data whose extracted values are discarded downstream.  DMA
+    # issue/latency dominates this kernel, so the gating — not the
+    # extraction arithmetic — is what the refinement loop's cost scales by.
     def start_group(gg, slot):
         for j in range(GROUP):
             i = gg * GROUP + j
-            pltpu.make_async_copy(
-                dog_ref.at[pl.ds(za_ref[i], 3),
-                           pl.ds(pl.multiple_of(ya_ref[i], 8), 16),
-                           pl.ds(pl.multiple_of(xa_ref[i], 128), 256)],
-                slabs.at[slot, j],
-                sems.at[slot, j],
-            ).start()
+
+            @pl.when(act_ref[i] != 0)
+            def _():
+                mk(i, slot, j).start()
 
     def wait_group(gg, slot):
         for j in range(GROUP):
             i = gg * GROUP + j
-            pltpu.make_async_copy(
-                dog_ref.at[pl.ds(za_ref[i], 3),
-                           pl.ds(pl.multiple_of(ya_ref[i], 8), 16),
-                           pl.ds(pl.multiple_of(xa_ref[i], 128), 256)],
-                slabs.at[slot, j],
-                sems.at[slot, j],
-            ).wait()
+
+            @pl.when(act_ref[i] != 0)
+            def _():
+                mk(i, slot, j).wait()
 
     @pl.when(g == 0)
     def _():
@@ -82,13 +90,13 @@ def _kernel(za_ref, ya_ref, xa_ref, dog_ref, dy_ref, dx_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gather27_batch_pallas(dog_padded, za, ya, xa, dy0, dx0,
+def gather27_batch_pallas(dog_padded, za, ya, xa, dy0, dx0, active,
                           interpret: bool = False):
     n = za.shape[0]
     assert n % GROUP == 0
     n_groups = n // GROUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -110,7 +118,7 @@ def gather27_batch_pallas(dog_padded, za, ya, xa, dy0, dx0,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(za.astype(jnp.int32), ya.astype(jnp.int32), xa.astype(jnp.int32),
-      dog_padded,
+      active.astype(jnp.int32), dog_padded,
       dy0.astype(jnp.int32).reshape(n_groups, GROUP, 1),
       dx0.astype(jnp.int32).reshape(n_groups, GROUP, 1))
     return out.reshape(n, 9, 128)

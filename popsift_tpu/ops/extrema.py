@@ -58,20 +58,39 @@ def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
 
     center = dog[1:levels + 1]
 
-    # Pad spatially with edge values (CUDA clamp addressing); z never needs
-    # clamping for the inner layers.
-    padded = jnp.pad(dog, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    # Separable 26-neighbour max/min (exactly equivalent to the pairwise
+    # reduction over all 26 shifted volumes, but ~2x fewer ops and far
+    # less read amplification):
+    #   nb_max[z] = max(plane3x3_max[z-1], plane3x3_max[z+1],
+    #                   same-plane 8-neighbour max)
+    # Edge clamping reproduces CUDA texture clamp addressing.
+    def _sx(a, op):
+        p = jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        return op(op(p[:, :, 0:w], p[:, :, 1:w + 1]), p[:, :, 2:w + 2])
 
-    nb_max = jnp.full_like(center, -jnp.inf)
-    nb_min = jnp.full_like(center, jnp.inf)
-    for dz in (-1, 0, 1):
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                if dz == 0 and dy == 1 and dx == 1:
-                    continue
-                nb = padded[1 + dz:levels + 1 + dz, dy:dy + h, dx:dx + w]
-                nb_max = jnp.maximum(nb_max, nb)
-                nb_min = jnp.minimum(nb_min, nb)
+    def _sy(a, op):
+        p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        return op(op(p[:, 0:h], p[:, 1:h + 1]), p[:, 2:h + 2])
+
+    def _shift_y(a, d):
+        p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        return p[:, 1 + d:1 + d + h]
+
+    def _shift_x(a, d):
+        p = jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        return p[:, :, 1 + d:1 + d + w]
+
+    def nb_extreme(op):
+        row = _sx(dog, op)                      # max/min over x-window
+        plane = _sy(row, op)                    # full 3x3 plane extreme
+        same = op(op(_shift_y(row, -1)[1:levels + 1],
+                     _shift_y(row, 1)[1:levels + 1]),
+                  op(_shift_x(dog, -1)[1:levels + 1],
+                     _shift_x(dog, 1)[1:levels + 1]))
+        return op(op(plane[0:levels], plane[2:levels + 2]), same)
+
+    nb_max = nb_extreme(jnp.maximum)
+    nb_min = nb_extreme(jnp.minimum)
 
     is_ext = (center > nb_max) | (center < nb_min)
 
@@ -166,11 +185,13 @@ def compact_mask(mask: jnp.ndarray, cap: int):
     return x, y, z, valid, count, overflow
 
 
-def _gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z) -> jnp.ndarray:
+def _gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
+              active=None) -> jnp.ndarray:
     """Batched 3x3x3 window gather around integer coordinates (z, y, x);
-    Pallas DMA + one-hot extraction on TPU, flat XLA gather elsewhere."""
+    Pallas DMA + one-hot extraction on TPU, flat XLA gather elsewhere.
+    Inactive slots skip their DMA and return unusable values."""
     from ..kernels.refine import gather27
-    return gather27(dog_padded, n_x, n_y, n_z)
+    return gather27(dog_padded, n_x, n_y, n_z, active=active)
 
 
 def _solve3(A00, A01, A02, A11, A12, A22, bx, by, bz):
@@ -207,25 +228,74 @@ def refine_extrema(dog: jnp.ndarray,
                    peak_threshold: float, edge_limit: float,
                    grid_w_div: float, grid_h_div: float,
                    grid_width: int):
-    """Batched Newton refinement of candidate extrema.
+    """Batched Newton refinement of candidate extrema (single octave).
 
     cand_z is the DoG layer index (candidate layers are 1..levels).
     Returns per-slot (xpos, ypos, lpos, sigma, cell, ok).
     """
-    n_layers, h, w = dog.shape
+    outs = refine_extrema_multi(
+        [dog], [(cand_x, cand_y, cand_z, cand_valid)], sift_mode,
+        sigma0, sigma_k, peak_threshold, edge_limit,
+        [(grid_w_div, grid_h_div)], grid_width)
+    return outs[0]
+
+
+def refine_extrema_multi(dogs, cands, sift_mode: SiftMode,
+                         sigma0: float, sigma_k: float,
+                         peak_threshold: float, edge_limit: float,
+                         grid_divs, grid_width: int):
+    """Joint Newton refinement across octaves.
+
+    One while_loop drives ALL octaves' candidates concatenated into one
+    vector state: the per-iteration cost of the refinement loop is
+    dominated by fixed per-op dispatch overhead on small vectors, not by
+    the 27-point DMA gathers (measured 6.3 ms vs 0.4 ms at 1080p), so a
+    per-octave loop pays that overhead once per octave per iteration
+    while this pays it once per iteration.  The gathers stay per-octave
+    (each octave has its own DoG field); everything else is vectorised
+    over the concatenation, with per-slot width/height/grid constants.
+
+    dogs : list of (L, H_o, W_o) DoG stacks (same L).
+    cands : list of (cand_x, cand_y, cand_z, cand_valid) per octave.
+    grid_divs : list of (grid_w_div, grid_h_div) per octave.
+    Returns a list of per-octave (xpos, ypos, lpos, sigma, cell, ok).
+    """
+    n_layers = dogs[0].shape[0]
     maxlevel = n_layers  # find_extrema passes _levels-1 == dog layers
-    width = jnp.int32(w)
-    height = jnp.int32(h)
 
     # pad to the DMA-friendly shape the 27-point kernel expects; pad values
     # are never selected (candidate coordinates stay >= 1 from the borders)
-    hp = max(-(-h // 8) * 8, 16)
-    wp = max(-(-w // 128) * 128, 256)
-    dogp = jnp.pad(dog, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    dogps = []
+    for dog in dogs:
+        h, w = dog.shape[-2], dog.shape[-1]
+        hp = max(-(-h // 8) * 8, 16)
+        wp = max(-(-w // 128) * 128, 256)
+        dogps.append(jnp.pad(dog, ((0, 0), (0, hp - h), (0, wp - w)),
+                             mode="edge"))
 
-    nx = cand_x.astype(jnp.int32)
-    ny = cand_y.astype(jnp.int32)
-    nz = cand_z.astype(jnp.int32)
+    ns = [c[0].shape[0] for c in cands]
+    offs = np.concatenate([[0], np.cumsum(ns)]).astype(int)
+
+    def catv(i, dtype=None):
+        parts = [c[i] for c in cands]
+        out = jnp.concatenate(parts)
+        return out.astype(dtype) if dtype is not None else out
+
+    nx = catv(0, jnp.int32)
+    ny = catv(1, jnp.int32)
+    nz = catv(2, jnp.int32)
+    cand_valid = catv(3)
+
+    def per_slot(vals, dtype):
+        return jnp.concatenate([
+            jnp.full((n,), v, dtype) for n, v in zip(ns, vals)])
+
+    width = per_slot([d.shape[-1] for d in dogs], jnp.int32)
+    height = per_slot([d.shape[-2] for d in dogs], jnp.int32)
+    w_f = width.astype(jnp.float32)
+    h_f = height.astype(jnp.float32)
+    gwd = per_slot([g[0] for g in grid_divs], jnp.float32)
+    ghd = per_slot([g[1] for g in grid_divs], jnp.float32)
 
     zeros = jnp.zeros(nx.shape, jnp.float32)
     state = dict(
@@ -246,10 +316,18 @@ def refine_extrema(dog: jnp.ndarray,
     def body(it, st):
         active = ~st["done"] & ~st["failed"]
 
-        win = _gather27(dogp, st["nx"], st["ny"], st["nz"])  # (cap,3,3,3)
+        win = jnp.concatenate([
+            _gather27(dogps[o],
+                      st["nx"][offs[o]:offs[o + 1]],
+                      st["ny"][offs[o]:offs[o + 1]],
+                      st["nz"][offs[o]:offs[o + 1]],
+                      active=active[offs[o]:offs[o + 1]])
+            for o in range(len(dogs))])                      # (cap,3,3,3)
         p = lambda dz_, dy_, dx_: win[:, 1 + dz_, 1 + dy_, 1 + dx_]
-        # the first iteration's centre is the initial position
-        st = dict(st, v=jnp.where(it == 1, p(0, 0, 0), st["v"]))
+        # the first iteration's centre is the initial position (inactive
+        # slots read stale data here, but they are already failed and
+        # every v consumer is gated on ok/active)
+        st = dict(st, v=jnp.where((it == 1) & active, p(0, 0, 0), st["v"]))
 
         Dx = 0.5 * (p(0, 0, 1) - p(0, 0, -1))
         Dy = 0.5 * (p(0, 1, 0) - p(0, -1, 0))
@@ -355,8 +433,8 @@ def refine_extrema(dog: jnp.ndarray,
 
     if not is_opencv:
         # verify (s_extrema.cu:234-245, 286-297)
-        ok &= ~((xn < 0.0) | (xn > w - 1.0) | (yn < 0.0) | (yn > h - 1.0)
-                | (sn < 0.0) | (sn > maxlevel))
+        ok &= ~((xn < 0.0) | (xn > w_f - 1.0) | (yn < 0.0)
+                | (yn > h_f - 1.0) | (sn < 0.0) | (sn > maxlevel))
 
     contr = st["v"] + 0.5 * (st["Dx"] * st["dx"] + st["Dy"] * st["dy"]
                              + st["Dz"] * st["dz"])
@@ -371,10 +449,12 @@ def refine_extrema(dog: jnp.ndarray,
 
     lpos = jnp.round(sn).astype(jnp.int32)
     sigma = sigma0 * jnp.power(jnp.float32(sigma_k), sn)
-    cell = (jnp.floor(yn / grid_h_div).astype(jnp.int32) * grid_width
-            + jnp.floor(xn / grid_w_div).astype(jnp.int32))
+    cell = (jnp.floor(yn / ghd).astype(jnp.int32) * grid_width
+            + jnp.floor(xn / gwd).astype(jnp.int32))
 
-    return xn, yn, lpos, sigma, cell, ok
+    return [tuple(v[offs[o]:offs[o + 1]]
+                  for v in (xn, yn, lpos, sigma, cell, ok))
+            for o in range(len(dogs))]
 
 
 def compact_extrema(xn, yn, lpos, sigma, cell, ok, cap: int) -> InitialExtrema:

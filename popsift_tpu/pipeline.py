@@ -120,22 +120,27 @@ class PopSift:
 
         self._queue_stage1: queue.Queue = queue.Queue()
         self._queue_stage2: queue.Queue = queue.Queue()
+        self._queue_download: queue.Queue = queue.Queue()
         # staging pool: bounded images in flight (double buffering,
-        # popsift.cpp:34-41; grows with the worker count)
+        # popsift.cpp:34-41; grows with the worker count and the
+        # dispatched-but-not-downloaded window)
         self._n_workers = max(1, int(workers))
-        self._pool = threading.Semaphore(1 + self._n_workers)
+        self._pool = threading.Semaphore(2 * self._n_workers + 4)
 
         self._thread_stage1 = threading.Thread(
             target=self._upload_images, daemon=True)
-        target = (self._extract_download_loop
+        target = (self._extract_dispatch_loop
                   if self._proc_mode == ProcessingMode.EXTRACTING
                   else self._match_prepare_loop)
         self._threads_stage2 = [
             threading.Thread(target=target, daemon=True)
             for _ in range(self._n_workers)]
+        self._thread_download = threading.Thread(
+            target=self._download_loop, daemon=True)
         self._thread_stage1.start()
         for t in self._threads_stage2:
             t.start()
+        self._thread_download.start()
 
     # ------------------------------------------------------------------
     def configure(self, config: Config, force: bool = False) -> bool:
@@ -162,6 +167,8 @@ class PopSift:
         self._thread_stage1.join()
         for t in self._threads_stage2:
             t.join()
+        self._queue_download.put(None)
+        self._thread_download.join()
         self._isInit = False
 
     def __del__(self) -> None:
@@ -275,22 +282,74 @@ class PopSift:
         ex = get_staged_extractor(self._config, job._w, job._h)
         return ex.extract_features(job.get_img(), want_dev=want_dev)
 
-    def _extract_download_loop(self) -> None:
+    def _extract_dispatch_loop(self) -> None:
+        """Stage-2 worker: dispatch the fused extraction program (async,
+        sub-ms) and hand the pending flat-buffer handle to the downloader.
+        First image / unknown bucket shape falls back to the synchronous
+        exact path inline."""
+        from .staged import get_staged_extractor
         while True:
             job = self._queue_stage2.get()
             if job is None:
                 return
             try:
-                feats = self._run_extraction(job)
-                self._pool.release()  # image no longer needed
-                if self._config.log_mode == LogMode.ALL:
-                    from .debugdump import dump_all
-                    dump_all(self._config, job, "pyramid")
-                job.set_features(feats)
+                ex = get_staged_extractor(self._config, job._w, job._h)
+                pending = ex.extract_dispatch(job.get_img())
+                if pending is None:
+                    feats = ex.extract_features(job.get_img())
+                    self._finish_job(job, feats)
+                else:
+                    self._queue_download.put((job, ex, pending))
             except BaseException as e:  # noqa: BLE001
                 self._pool.release()
                 job.set_error(e)
                 job.set_features(None)
+
+    def _download_loop(self) -> None:
+        """Batches pending result downloads: ONE jax.device_get over every
+        currently-pending image's flat buffer (the per-call network round
+        trip to a remotely-attached TPU is paid once per batch instead of
+        once per image; jax issues all copies async then blocks)."""
+        import jax
+        while True:
+            item = self._queue_download.get()
+            if item is None:
+                return
+            batch = [item]
+            while len(batch) < 16:
+                try:
+                    nxt = self._queue_download.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue_download.put(None)  # re-post sentinel
+                    break
+                batch.append(nxt)
+            try:
+                flats = jax.device_get(
+                    [p[2][1]["flat"] for p in batch])
+            except BaseException as e:  # noqa: BLE001
+                for job, _, _ in batch:
+                    self._pool.release()
+                    job.set_error(e)
+                    job.set_features(None)
+                continue
+            for (job, ex, pending), flat in zip(batch, flats):
+                try:
+                    feats = ex.extract_collect(job.get_img(), pending,
+                                               flat)
+                    self._finish_job(job, feats)
+                except BaseException as e:  # noqa: BLE001
+                    self._pool.release()
+                    job.set_error(e)
+                    job.set_features(None)
+
+    def _finish_job(self, job: SiftJob, feats) -> None:
+        self._pool.release()  # image no longer needed
+        if self._config.log_mode == LogMode.ALL:
+            from .debugdump import dump_all
+            dump_all(self._config, job, "pyramid")
+        job.set_features(feats)
 
     def _match_prepare_loop(self) -> None:
         while True:

@@ -117,12 +117,27 @@ class StagedExtractor:
     # ------------------------------------------------------------------
     def _stage1b_body(self, dogs, cands, cks):
         """Refinement + extremum compaction (+ grid filter) at bucketed
-        candidate counts."""
+        candidate counts.  Refinement runs per octave: the joint
+        all-octave variant (refine_extrema_multi with >1 octave) was
+        measured slightly SLOWER on TPU (7.2 vs 6.3 ms at 1080p) because
+        the global convergence loop runs the full 5 iterations for every
+        octave, while per-octave loops early-exit independently."""
         plan = self.plan
+        parts = [o for o in range(plan.octaves) if cks[o] > 0]
+        refined = {}
+        for o in parts:
+            refined[o] = ops_ext.refine_extrema_multi(
+                [dogs[o]],
+                [(cands[o][0][:cks[o]], cands[o][1][:cks[o]],
+                  cands[o][2][:cks[o]] + 1, cands[o][3][:cks[o]])],
+                plan.sift_mode, plan.sigma0, plan.sigma_k,
+                plan.peak_threshold, plan.edge_limit,
+                [(plan.dims[o][0] / plan.filter_grid_size,
+                  plan.dims[o][1] / plan.filter_grid_size)],
+                plan.filter_grid_size)[0]
         exts = []
         for o in range(plan.octaves):
             ck = cks[o]
-            w, h = plan.dims[o]
             if ck == 0:
                 exts.append(ops_ext.compact_extrema(
                     *(jnp.zeros((1,), t) for t in
@@ -130,14 +145,7 @@ class StagedExtractor:
                        jnp.float32, jnp.int32)),
                     jnp.zeros((1,), bool), plan.ext_caps[o]))
                 continue
-            cx, cy, cz, cvalid = cands[o]
-            xn, yn, lpos, sigma, cell, ok = ops_ext.refine_extrema(
-                dogs[o], cx[:ck], cy[:ck], cz[:ck] + 1, cvalid[:ck],
-                plan.sift_mode, plan.sigma0, plan.sigma_k,
-                plan.peak_threshold, plan.edge_limit,
-                grid_w_div=w / plan.filter_grid_size,
-                grid_h_div=h / plan.filter_grid_size,
-                grid_width=plan.filter_grid_size)
+            xn, yn, lpos, sigma, cell, ok = refined[o]
             exts.append(ops_ext.compact_extrema(
                 xn, yn, lpos, sigma, cell, ok,
                 min(plan.ext_caps[o], max(ck, 128))))
@@ -397,10 +405,49 @@ class StagedExtractor:
             self._fused[key] = fn
         return fn
 
+    def _flat_layout(self, key: tuple) -> dict:
+        """Static word-offset layout of the single flat u32 transfer
+        buffer for a bucket 5-tuple.  Everything the host needs per image
+        is packed into ONE 1-D device array so the steady-state download
+        is exactly one fetch — on a remotely-attached TPU every
+        per-array fetch pays a full network round trip, which dwarfs the
+        payload cost (measured: ~90 ms for a 1.2 MB many-leaf pytree vs
+        ~RTT+size/bw for one array)."""
+        cks, ks, bs, ft, bt = key
+        O = self.plan.octaves
+        FT, BT = max(ft, 1), max(bt, 1)
+        desc_words = BT * (64 if self.config.desc_transfer == "u16"
+                           else 128)
+        sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
+                 ("overflows", O), ("totals", 2),
+                 ("x", FT), ("y", FT), ("sigma", FT),
+                 ("orientation", 4 * FT),
+                 ("num_ori", FT), ("idx_ori", FT), ("octave", FT),
+                 ("rev", BT), ("desc", desc_words)]
+        off, layout = 0, {}
+        for name, n in sizes:
+            layout[name] = (off, off + n)
+            off += n
+        layout["_total"] = off
+        layout["_FT"], layout["_BT"] = FT, BT
+        return layout
+
+    @staticmethod
+    def _as_u32(a):
+        if a.dtype == jnp.uint16:
+            return jax.lax.bitcast_convert_type(
+                a.reshape(a.size // 2, 2), jnp.uint32)
+        if a.dtype == jnp.uint32:
+            return a.reshape(-1)
+        return jax.lax.bitcast_convert_type(
+            a.reshape(-1).astype(
+                jnp.float32 if a.dtype == jnp.float32 else jnp.int32),
+            jnp.uint32)
+
     def _get_fused_packed(self, key: tuple):
         """Stage1a..finalize in ONE jitted program for a known bucket
-        5-tuple (cks, ks, bs, ft, bt): one dispatch, one compact
-        readback."""
+        5-tuple (cks, ks, bs, ft, bt): one dispatch, one single-array
+        readback (see _flat_layout)."""
         fn = self._fused_packed.get(key)
         if fn is None:
             cks, ks, bs, ft, bt = key
@@ -412,18 +459,48 @@ class StagedExtractor:
                 oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
                 descs = self._stage3_body(
                     s1["grads"], s1["stacks"], exts, oris, ks, bs)
-                packed = self._finalize_body(exts, oris, descs, ks, bs,
-                                             ft, bt)
-                dev_desc = self._dequantize_descs_dev(packed["desc"])
-                transfer = dict(packed)
-                transfer.update(
-                    cand_counts=s1["cand_counts"], counts=counts,
-                    ori_counts=ori_counts, overflows=overflows)
-                return dict(transfer=transfer, dev_desc=dev_desc)
+                p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
+                dev_desc = self._dequantize_descs_dev(p["desc"])
+                u = self._as_u32
+                flat = jnp.concatenate([
+                    u(s1["cand_counts"]), u(counts), u(ori_counts),
+                    u(overflows),
+                    u(jnp.stack([p["ext_total"], p["ori_total"]])),
+                    u(p["x"]), u(p["y"]), u(p["sigma"]),
+                    u(p["orientation"]),
+                    u(p["num_ori"]), u(p["idx_ori"]), u(p["octave"]),
+                    u(p["rev"]), u(p["desc"])])
+                return dict(flat=flat, dev_desc=dev_desc)
 
             fn = jax.jit(fused)
             self._fused_packed[key] = fn
         return fn
+
+    def _decode_flat(self, flat: np.ndarray, key: tuple) -> dict:
+        """Numpy views into the fetched flat buffer (zero-copy)."""
+        lay = self._flat_layout(key)
+        FT, BT = lay["_FT"], lay["_BT"]
+
+        def sl(name, dt):
+            a, b = lay[name]
+            return flat[a:b].view(dt)
+
+        totals = sl("totals", np.int32)
+        desc = sl("desc", np.uint16 if self.config.desc_transfer == "u16"
+                  else np.float32).reshape(BT, 128)
+        return dict(
+            cand_counts=sl("cand_counts", np.int32),
+            counts=sl("counts", np.int32),
+            ori_counts=sl("ori_counts", np.int32),
+            overflows=sl("overflows", np.int32),
+            ext_total=totals[0], ori_total=totals[1],
+            x=sl("x", np.float32), y=sl("y", np.float32),
+            sigma=sl("sigma", np.float32),
+            orientation=sl("orientation", np.float32).reshape(FT, 4),
+            num_ori=sl("num_ori", np.int32),
+            idx_ori=sl("idx_ori", np.int32),
+            octave=sl("octave", np.int32),
+            rev=sl("rev", np.int32), desc=desc)
 
     def _dequantize_descs_dev(self, d):
         if d.dtype == jnp.uint16:
@@ -432,38 +509,58 @@ class StagedExtractor:
         return d
 
     # ------------------------------------------------------------------
+    def extract_dispatch(self, image):
+        """Dispatch the packed fused program without waiting (async).
+
+        Returns an opaque pending handle for :meth:`extract_collect`, or
+        None when no bucket key is established yet (first image) — then
+        the caller must run :meth:`extract_features` synchronously.
+        Splitting dispatch from collection lets the host pipeline batch
+        many images' flat-buffer fetches into ONE device_get round trip
+        (the per-fetch network RTT of a remotely-attached TPU is the
+        throughput ceiling once compute and payload are optimised)."""
+        key = self._last_key5
+        if key is None:
+            return None
+        return (key, self._get_fused_packed(key)(image))
+
+    def extract_collect(self, image, pending, flat: np.ndarray,
+                        want_dev: bool = False):
+        """Validate + decode a fetched flat buffer; exact-path fallback on
+        bucket overflow (needs ``image`` again)."""
+        key, out = pending
+        cks, ks, bs, ft, bt = key
+        t = self._decode_flat(flat, key)
+        cand_counts = t["cand_counts"]
+        counts = t["counts"]
+        ori_counts = t["ori_counts"]
+        ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
+              and all(int(c) <= ks[o] for o, c in enumerate(counts))
+              and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))
+              and int(t["ext_total"]) <= ft
+              and int(t["ori_total"]) <= bt)
+        if ok:
+            self._update_buckets(cand_counts, counts, ori_counts)
+            return self._features_from_packed(t, out["dev_desc"], want_dev)
+        return self._extract_exact(image, want_dev)
+
     def extract_features(self, image, want_dev: bool = False):
         """Extract and return a FeaturesHost (or FeaturesDev) directly.
 
         Fast path: the packed fused program — one dispatch, one compact
-        readback of globally-packed SoA feature arrays (finalisation that
-        the reference does in prep_features + the host pin/download,
-        sift_pyramid.cu:250-322, all happens on device).  Falls back to
-        the exact staged path on the first image or bucket overflow."""
+        single-array readback of globally-packed SoA feature arrays
+        (finalisation that the reference does in prep_features + the host
+        pin/download, sift_pyramid.cu:250-322, all happens on device).
+        Falls back to the exact staged path on the first image or bucket
+        overflow."""
+        pending = self.extract_dispatch(image)
+        if pending is not None:
+            flat = np.asarray(pending[1]["flat"])
+            return self.extract_collect(image, pending, flat, want_dev)
+        return self._extract_exact(image, want_dev)
+
+    def _extract_exact(self, image, want_dev: bool = False):
         from .features import assemble_features, assemble_features_dev
-
-        key = self._last_key5
-        if key is not None:
-            cks, ks, bs, ft, bt = key
-            out = self._get_fused_packed(key)(image)
-            tr = dict(out["transfer"])
-            if want_dev:
-                tr.pop("desc")  # descriptors stay device-resident
-            t = jax.device_get(tr)
-            cand_counts = t["cand_counts"]
-            counts = t["counts"]
-            ori_counts = t["ori_counts"]
-            ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
-                  and all(int(c) <= ks[o] for o, c in enumerate(counts))
-                  and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))
-                  and int(t["ext_total"]) <= ft
-                  and int(t["ori_total"]) <= bt)
-            if ok:
-                self._update_buckets(cand_counts, counts, ori_counts)
-                return self._features_from_packed(
-                    t, out["dev_desc"], want_dev)
-
-        # exact path (first image or bucket overflow)
         result = self.extract(image)
         if want_dev:
             return assemble_features_dev(result, self.plan.upscale_factor)

@@ -1,4 +1,5 @@
-"""Honest prefix profiling of the fused staged program on TPU."""
+"""Per-stage device time of the fused staged program, via dispatch-count
+slope (immune to the tunnel's variable sync floor)."""
 
 import sys
 import time
@@ -21,7 +22,6 @@ def main():
     images_np = [normalize_input(make_1080p_image(s)) for s in range(4)]
     images = [jax.device_put(jnp.asarray(i)) for i in images_np]
 
-    # establish buckets with the exact path
     for img in images:
         ex.extract(img)
     cks, ks, bs = ex._last_buckets
@@ -44,17 +44,29 @@ def main():
             return jnp.stack([jnp.sum(d) for d in descs if d.shape[0]])
         return jax.jit(fn)
 
+    def slope(fn):
+        def run(k):
+            outs = [fn(images[i % 4]) for i in range(k)]
+            jax.block_until_ready(outs[-1])
+        run(2)
+        ts = {}
+        for k in (2, 10):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                run(k)
+                best = min(best, time.time() - t0)
+            ts[k] = best
+        return (ts[10] - ts[2]) / 8 * 1e3
+
     prev = 0.0
     for stage in ["stage1a", "refine", "orient", "desc"]:
         fn = cut(stage)
         t0 = time.time()
         np.asarray(fn(images[0]))
         cs = time.time() - t0
-        t0 = time.time()
-        for img in images:
-            v = np.asarray(fn(img))
-        dt = (time.time() - t0) / len(images) * 1e3
-        print(f"{stage:10s} compile {cs:6.1f}s  cumulative {dt:8.1f} ms  "
+        dt = slope(fn)
+        print(f"{stage:10s} compile {cs:6.1f}s  device-prefix {dt:8.1f} ms  "
               f"delta {dt - prev:8.1f} ms", flush=True)
         prev = dt
 
