@@ -48,10 +48,13 @@ def main() -> int:
     images = [make_1080p_image(seed) for seed in range(4)]
 
     with PopSift(config, workers=4) as ps:
-        # warm up: compiles + optimistic-bucket adaptation (2 passes)
+        # warm up: compiles + optimistic-bucket adaptation.  The second
+        # pass enqueues 2x the scenes at once so the multi-image batch
+        # program compiles during warmup, not in the timed section.
         t0 = time.time()
-        for _ in range(2):
-            jobs = [ps.enqueue(w, h, img) for img in images]
+        for rep in (1, 2):
+            jobs = [ps.enqueue(w, h, images[i % len(images)])
+                    for i in range(rep * len(images))]
             feats = [j.get() for j in jobs]
         print(f"# warmup (compile) {time.time() - t0:.1f}s "
               f"features={[f.get_feature_count() for f in feats]}",

@@ -251,8 +251,19 @@ class PopSift:
     # ------------------------------------------------------------------
     # worker threads
     # ------------------------------------------------------------------
+    # Upload dedupe: the host->device wire of a remotely-attached TPU is
+    # slow (~30 ms RTT + tens of MB/s) and a 1080p byte image costs ~50 ms
+    # of wire time — repeated frames (re-extraction, multi-config runs,
+    # static scenes) should not pay it twice.  Keyed by content digest,
+    # bounded LRU.  The reference has no analog because PCIe upload is
+    # effectively free next to its kernels (s_image.cu:69-77).
+    _UPLOAD_CACHE_SLOTS = 24
+
     def _upload_images(self) -> None:
+        import hashlib
+
         import jax
+        cache: dict[bytes, object] = {}
         while True:
             job = self._queue_stage1.get()
             if job is None:
@@ -262,12 +273,21 @@ class PopSift:
             self._pool.acquire()  # backpressure: bounded staged images
             try:
                 data = job._image_data
-                if data.dtype == np.uint8:
-                    # upload bytes; normalization happens on-device
-                    job.set_img(jax.device_put(data, self._device))
-                else:
-                    job.set_img(jax.device_put(
-                        normalize_input(data), self._device))
+                digest = hashlib.blake2b(
+                    data.tobytes(), digest_size=16).digest()
+                key = (digest, data.shape, str(data.dtype))
+                dev = cache.pop(key, None)
+                if dev is None:
+                    if data.dtype == np.uint8:
+                        # upload bytes; normalization happens on-device
+                        dev = jax.device_put(data, self._device)
+                    else:
+                        dev = jax.device_put(
+                            normalize_input(data), self._device)
+                cache[key] = dev  # (re-)insert as most recent
+                if len(cache) > self._UPLOAD_CACHE_SLOTS:
+                    cache.pop(next(iter(cache)))
+                job.set_img(dev)
             except BaseException as e:  # noqa: BLE001
                 job.set_error(e)
             self._queue_stage2.put(job)
@@ -282,28 +302,73 @@ class PopSift:
         ex = get_staged_extractor(self._config, job._w, job._h)
         return ex.extract_features(job.get_img(), want_dev=want_dev)
 
+    def _dispatch_single(self, job: SiftJob) -> None:
+        from .staged import get_staged_extractor
+        try:
+            ex = get_staged_extractor(self._config, job._w, job._h)
+            pending = ex.extract_dispatch(job.get_img())
+            if pending is None:
+                feats = ex.extract_features(job.get_img())
+                self._finish_job(job, feats)
+            else:
+                self._queue_download.put(("single", job, ex, pending))
+        except BaseException as e:  # noqa: BLE001
+            self._pool.release()
+            job.set_error(e)
+            job.set_features(None)
+
     def _extract_dispatch_loop(self) -> None:
-        """Stage-2 worker: dispatch the fused extraction program (async,
-        sub-ms) and hand the pending flat-buffer handle to the downloader.
-        First image / unknown bucket shape falls back to the synchronous
-        exact path inline."""
+        """Stage-2 worker: dispatch fused extraction programs (async,
+        sub-ms) and hand pending flat-buffer handles to the downloader.
+
+        When a backlog exists, BATCH same-shape jobs are folded into one
+        multi-image program: one dispatch and one result fetch per batch
+        (each fetch costs a full network round trip on a
+        remotely-attached TPU).  First image / unknown bucket shape falls
+        back to the synchronous exact path inline."""
         from .staged import get_staged_extractor
         while True:
             job = self._queue_stage2.get()
             if job is None:
                 return
-            try:
-                ex = get_staged_extractor(self._config, job._w, job._h)
-                pending = ex.extract_dispatch(job.get_img())
-                if pending is None:
-                    feats = ex.extract_features(job.get_img())
-                    self._finish_job(job, feats)
+            batch = [job]
+            others: list[SiftJob] = []
+            ex = get_staged_extractor(self._config, job._w, job._h)
+            if ex._last_key5 is not None:
+                while len(batch) < ex.BATCH:
+                    try:
+                        nxt = self._queue_stage2.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._queue_stage2.put(None)  # re-post sentinel
+                        break
+                    if (nxt._w, nxt._h) == (job._w, job._h):
+                        batch.append(nxt)
+                    else:
+                        others.append(nxt)
+                        break
+            if len(batch) == ex.BATCH:
+                try:
+                    pending = ex.extract_dispatch_batch(
+                        [j.get_img() for j in batch])
+                except BaseException as e:  # noqa: BLE001
+                    pending = None
+                    for j in batch:
+                        self._pool.release()
+                        j.set_error(e)
+                        j.set_features(None)
+                    batch = []
+                if pending is not None:
+                    self._queue_download.put(("batch", batch, ex, pending))
                 else:
-                    self._queue_download.put((job, ex, pending))
-            except BaseException as e:  # noqa: BLE001
-                self._pool.release()
-                job.set_error(e)
-                job.set_features(None)
+                    for j in batch:
+                        self._dispatch_single(j)
+            else:
+                for j in batch:
+                    self._dispatch_single(j)
+            for j in others:
+                self._dispatch_single(j)
 
     def _download_loop(self) -> None:
         """Batches pending result downloads: ONE jax.device_get over every
@@ -327,22 +392,34 @@ class PopSift:
                 batch.append(nxt)
             try:
                 flats = jax.device_get(
-                    [p[2][1]["flat"] for p in batch])
+                    [p[3][1]["flat"] for p in batch])
             except BaseException as e:  # noqa: BLE001
-                for job, _, _ in batch:
-                    self._pool.release()
-                    job.set_error(e)
-                    job.set_features(None)
+                for entry in batch:
+                    jobs = [entry[1]] if entry[0] == "single" else entry[1]
+                    for job in jobs:
+                        self._pool.release()
+                        job.set_error(e)
+                        job.set_features(None)
                 continue
-            for (job, ex, pending), flat in zip(batch, flats):
+            for (kind, jobs, ex, pending), flat in zip(batch, flats):
+                if kind == "single":
+                    jobs = [jobs]
                 try:
-                    feats = ex.extract_collect(job.get_img(), pending,
-                                               flat)
-                    self._finish_job(job, feats)
+                    if kind == "single":
+                        feats_list = [ex.extract_collect(
+                            jobs[0].get_img(), pending, flat)]
+                    else:
+                        feats_list = ex.extract_collect_batch(
+                            [j.get_img() for j in jobs], pending, flat)
+                    for job, feats in zip(jobs, feats_list):
+                        self._finish_job(job, feats)
                 except BaseException as e:  # noqa: BLE001
-                    self._pool.release()
-                    job.set_error(e)
-                    job.set_features(None)
+                    for job in jobs:
+                        if job._f.done():
+                            continue  # finished before the failure
+                        self._pool.release()
+                        job.set_error(e)
+                        job.set_features(None)
 
     def _finish_job(self, job: SiftJob, feats) -> None:
         self._pool.release()  # image no longer needed

@@ -72,6 +72,7 @@ class StagedExtractor:
         self._stage3 = {}
         self._fused = {}
         self._fused_packed = {}
+        self._fused_packed_batch = {}
         self._last_buckets = None
         self._last_key5 = None
 
@@ -444,37 +445,82 @@ class StagedExtractor:
                 jnp.float32 if a.dtype == jnp.float32 else jnp.int32),
             jnp.uint32)
 
+    def _fused_packed_image(self, image, key: tuple):
+        """Per-image stage1a..finalize body producing (flat u32, dev_desc)."""
+        cks, ks, bs, ft, bt = key
+        s1 = self._stage1a_fn(image)
+        exts, counts, overflows = self._stage1b_body(
+            s1["dogs"], s1["cands"], cks)
+        oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
+        descs = self._stage3_body(
+            s1["grads"], s1["stacks"], exts, oris, ks, bs)
+        p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
+        dev_desc = self._dequantize_descs_dev(p["desc"])
+        u = self._as_u32
+        flat = jnp.concatenate([
+            u(s1["cand_counts"]), u(counts), u(ori_counts),
+            u(overflows),
+            u(jnp.stack([p["ext_total"], p["ori_total"]])),
+            u(p["x"]), u(p["y"]), u(p["sigma"]),
+            u(p["orientation"]),
+            u(p["num_ori"]), u(p["idx_ori"]), u(p["octave"]),
+            u(p["rev"]), u(p["desc"])])
+        return flat, dev_desc
+
     def _get_fused_packed(self, key: tuple):
         """Stage1a..finalize in ONE jitted program for a known bucket
         5-tuple (cks, ks, bs, ft, bt): one dispatch, one single-array
         readback (see _flat_layout)."""
         fn = self._fused_packed.get(key)
         if fn is None:
-            cks, ks, bs, ft, bt = key
-
             def fused(image):
-                s1 = self._stage1a_fn(image)
-                exts, counts, overflows = self._stage1b_body(
-                    s1["dogs"], s1["cands"], cks)
-                oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
-                descs = self._stage3_body(
-                    s1["grads"], s1["stacks"], exts, oris, ks, bs)
-                p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
-                dev_desc = self._dequantize_descs_dev(p["desc"])
-                u = self._as_u32
-                flat = jnp.concatenate([
-                    u(s1["cand_counts"]), u(counts), u(ori_counts),
-                    u(overflows),
-                    u(jnp.stack([p["ext_total"], p["ori_total"]])),
-                    u(p["x"]), u(p["y"]), u(p["sigma"]),
-                    u(p["orientation"]),
-                    u(p["num_ori"]), u(p["idx_ori"]), u(p["octave"]),
-                    u(p["rev"]), u(p["desc"])])
+                flat, dev_desc = self._fused_packed_image(image, key)
                 return dict(flat=flat, dev_desc=dev_desc)
 
             fn = jax.jit(fused)
             self._fused_packed[key] = fn
         return fn
+
+    # batch size of the multi-image fused program (one dispatch + one
+    # flat-buffer fetch per BATCH images: the dominant steady-state cost on
+    # a remotely-attached TPU is the ~25 ms per-RPC round trip, so RTT is
+    # paid once per batch).  One size only, to bound compile count.
+    BATCH = 4
+
+    def _get_fused_packed_batch(self, key: tuple):
+        fn = self._fused_packed_batch.get(key)
+        if fn is None:
+            B = self.BATCH
+
+            def fused(*images):
+                outs = [self._fused_packed_image(images[i], key)
+                        for i in range(B)]
+                return dict(flat=jnp.stack([o[0] for o in outs]),
+                            dev_desc=jnp.stack([o[1] for o in outs]))
+
+            fn = jax.jit(fused)
+            self._fused_packed_batch[key] = fn
+        return fn
+
+    def extract_dispatch_batch(self, images):
+        """Dispatch one fused program over BATCH images (async).  Returns
+        a pending handle for :meth:`extract_collect_batch`, or None when
+        no bucket key exists yet or len(images) != BATCH."""
+        key = self._last_key5
+        if key is None or len(images) != self.BATCH:
+            return None
+        return (key, self._get_fused_packed_batch(key)(*images))
+
+    def extract_collect_batch(self, images, pending, flats: np.ndarray,
+                              want_dev: bool = False):
+        """Decode a fetched (BATCH, words) buffer into one Features per
+        image (per-image validation; exact-path fallback per image)."""
+        key, out = pending
+        return [self.extract_collect(
+            images[i], (key, dict(flat=None,
+                                  dev_desc=out["dev_desc"][i])),
+            flats[i], want_dev)
+            for i in range(self.BATCH)]
 
     def _decode_flat(self, flat: np.ndarray, key: tuple) -> dict:
         """Numpy views into the fetched flat buffer (zero-copy)."""

@@ -47,22 +47,39 @@ def main():
                      for o, m in enumerate(masks)]
             if stage == "cmp":
                 return jnp.stack([c[4] for c in cands])
-            grads = [G.gradient_fields(s) for s in stacks]
-            return jnp.stack([jnp.sum(g[0])
-                              for g in grads])
+            if stage == "grad":
+                grads = [G.gradient_fields(s) for s in stacks]
+                return jnp.stack([jnp.sum(g[0][-1]) for g in grads])
+            from popsift_tpu.extract import grad_pad_dims
+            pad_y, pad_x = grad_pad_dims(plan)
+            gradsp = [G.padded_gradient_field(s, pad_y, pad_x)
+                      for s in stacks]
+            return jnp.stack([jnp.sum(g[-1, -1]) for g in gradsp])
         return jax.jit(fn)
 
+    def slope(fn, k1=2, k2=8):
+        def run(k):
+            outs = [fn(images[i % 4]) for i in range(k)]
+            jax.block_until_ready(outs[-1])
+        run(2)
+        ts = {}
+        for k in (k1, k2):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                run(k)
+                best = min(best, time.time() - t0)
+            ts[k] = best
+        return (ts[k2] - ts[k1]) / (k2 - k1) * 1e3
+
     prev = 0.0
-    for stage in ["pyr", "dog", "det", "cmp", "grad"]:
+    for stage in ["pyr", "dog", "det", "cmp", "grad", "gradp"]:
         fn = cut(stage)
         t0 = time.time()
         np.asarray(fn(images[0]))
         cs = time.time() - t0
-        t0 = time.time()
-        for img in images:
-            v = np.asarray(fn(img))
-        dt = (time.time() - t0) / len(images) * 1e3
-        print(f"{stage:6s} compile {cs:6.1f}s  cumulative {dt:8.1f} ms  "
+        dt = slope(fn)
+        print(f"{stage:6s} compile {cs:6.1f}s  device-prefix {dt:8.1f} ms  "
               f"delta {dt - prev:8.1f} ms", flush=True)
         prev = dt
 
