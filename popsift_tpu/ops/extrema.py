@@ -56,41 +56,25 @@ def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
     levels = dog.shape[0] - 2
     h, w = dog.shape[-2], dog.shape[-1]
 
-    center = dog[1:levels + 1]
+    # Border pixels are excluded by the launch-grid offset of the CUDA
+    # kernel anyway (s_extrema.cu:506-517), so the 26-neighbour test runs
+    # on the (h-2, w-2) interior using pure slices of the UNPADDED volume
+    # — a jnp.pad of the 160 MB octave-0 DoG materialises a full copy per
+    # shifted operand, which dominated this stage's cost — and the mask
+    # gets one cheap bool pad back to (levels, h, w).
+    hi, wi = h - 2, w - 2
+    center = dog[1:levels + 1, 1:1 + hi, 1:1 + wi]
 
-    # Separable 26-neighbour max/min (exactly equivalent to the pairwise
-    # reduction over all 26 shifted volumes, but ~2x fewer ops and far
-    # less read amplification):
-    #   nb_max[z] = max(plane3x3_max[z-1], plane3x3_max[z+1],
-    #                   same-plane 8-neighbour max)
-    # Edge clamping reproduces CUDA texture clamp addressing.
-    def _sx(a, op):
-        p = jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        return op(op(p[:, :, 0:w], p[:, :, 1:w + 1]), p[:, :, 2:w + 2])
-
-    def _sy(a, op):
-        p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        return op(op(p[:, 0:h], p[:, 1:h + 1]), p[:, 2:h + 2])
-
-    def _shift_y(a, d):
-        p = jnp.pad(a, ((0, 0), (1, 1), (0, 0)), mode="edge")
-        return p[:, 1 + d:1 + d + h]
-
-    def _shift_x(a, d):
-        p = jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        return p[:, :, 1 + d:1 + d + w]
-
-    def nb_extreme(op):
-        row = _sx(dog, op)                      # max/min over x-window
-        plane = _sy(row, op)                    # full 3x3 plane extreme
-        same = op(op(_shift_y(row, -1)[1:levels + 1],
-                     _shift_y(row, 1)[1:levels + 1]),
-                  op(_shift_x(dog, -1)[1:levels + 1],
-                     _shift_x(dog, 1)[1:levels + 1]))
-        return op(op(plane[0:levels], plane[2:levels + 2]), same)
-
-    nb_max = nb_extreme(jnp.maximum)
-    nb_min = nb_extreme(jnp.minimum)
+    nb_max = None
+    nb_min = None
+    for dz in (-1, 0, 1):
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dz == 0 and dy == 1 and dx == 1:
+                    continue
+                nb = dog[1 + dz:levels + 1 + dz, dy:dy + hi, dx:dx + wi]
+                nb_max = nb if nb_max is None else jnp.maximum(nb_max, nb)
+                nb_min = nb if nb_min is None else jnp.minimum(nb_min, nb)
 
     is_ext = (center > nb_max) | (center < nb_min)
 
@@ -104,16 +88,14 @@ def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
     else:
         gate = aval >= 1.6 * t
 
-    # border exclusion; the CUDA kernel offsets the launch grid by 1 and the
-    # strict comparisons kill clamped border pixels anyway
-    ys = jnp.arange(h)[None, :, None]
-    xs = jnp.arange(w)[None, None, :]
+    mask = is_ext & gate
     if sift_mode == SiftMode.OPENCV:
-        border = (xs >= 5) & (xs < w - 5) & (ys >= 5) & (ys < h - 5)
-    else:
-        border = (xs >= 1) & (xs < w - 1) & (ys >= 1) & (ys < h - 1)
+        # OpenCV mode excludes a 5-pixel border (s_extrema.cu:151)
+        ys = jnp.arange(hi)[None, :, None]
+        xs = jnp.arange(wi)[None, None, :]
+        mask &= (xs >= 4) & (xs < wi - 4) & (ys >= 4) & (ys < hi - 4)
 
-    return is_ext & gate & border
+    return jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))
 
 
 _BLOCK = 1024      # compaction block (one x-run of the raster)
