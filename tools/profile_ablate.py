@@ -1,0 +1,129 @@
+"""Ablation profile of the packed fused program: device time with each
+stage replaced by a shape-identical no-op.  full - ablated = that stage's
+true marginal cost inside the fused program (prefix-cut profiling
+mis-attributes costs because each cut compiles with different fusion)."""
+
+import sys
+import time
+from contextlib import contextmanager
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import make_1080p_image  # noqa: E402
+from popsift_tpu.config import Config  # noqa: E402
+from popsift_tpu.staged import StagedExtractor  # noqa: E402
+from popsift_tpu.ops import descriptors as ops_desc  # noqa: E402
+from popsift_tpu.ops import extrema as ops_ext  # noqa: E402
+from popsift_tpu.ops import gradients as ops_grad  # noqa: E402
+from popsift_tpu.ops import orientation as ops_ori  # noqa: E402
+from popsift_tpu import extract as ext_mod  # noqa: E402
+
+
+@contextmanager
+def patched(obj, name, repl):
+    orig = getattr(obj, name)
+    setattr(obj, name, repl)
+    try:
+        yield
+    finally:
+        setattr(obj, name, orig)
+
+
+def main():
+    h, w = 1080, 1920
+    ex = StagedExtractor(Config(), w, h)
+    images = [jax.device_put(np.asarray(make_1080p_image(s)))
+              for s in range(4)]
+    for img in images:
+        ex.extract_features(img)
+    key = ex._last_key5
+
+    def build(label, ctxs):
+        from contextlib import ExitStack
+        with ExitStack() as st:
+            for c in ctxs:
+                st.enter_context(c)
+            fn = jax.jit(lambda im: ex._fused_packed_image(im, key)[0])
+            t0 = time.time()
+            jax.block_until_ready(fn(images[0]))
+            compile_s = time.time() - t0
+        return label, fn, compile_s
+
+    orig_grad = ops_grad.padded_gradient_field
+    orig_det = ops_ext.detect_candidates
+    orig_ref = ops_ext.refine_extrema_multi
+    orig_ori = ops_ori.assign_orientations
+    orig_desc = ext_mod._dispatch_descriptors
+
+    def no_grad(stack, pad_y, pad_x):
+        L, hh, ww = stack.shape
+        return jnp.zeros((2 * L, hh + 2 * pad_y, ww + 2 * pad_x),
+                         jnp.float32)
+
+    def no_det(dog, sift_mode, peak_threshold):
+        levels = dog.shape[0] - 2
+        return jnp.zeros((levels,) + dog.shape[1:], bool) | (dog[1:-1] > 1e30)
+
+    def no_ref(dogs, cands, *a, **k):
+        outs = []
+        for dog, (cx, cy, cz, cv) in zip(dogs, cands):
+            xf = cx.astype(jnp.float32)
+            yf = cy.astype(jnp.float32)
+            outs.append((xf, yf, cz.astype(jnp.int32),
+                         1.6 * jnp.ones_like(xf),
+                         jnp.zeros_like(cz, jnp.int32), cv))
+        return outs
+
+    def no_ori(bothp, pad_y, pad_x, xpos, ypos, lpos, sigma, valid,
+               w_, h_, win, max_count=4, chunk=256):
+        cap = xpos.shape[0]
+        return (valid.astype(jnp.int32),
+                jnp.zeros((cap, max_count), jnp.float32)
+                + bothp[0, 0, 0])
+
+    def no_desc(plan, consts, stack, grads, pad_y, pad_x,
+                ex_, ey, el, es, ang, ovalid, w_, h_):
+        return jnp.zeros((ex_.shape[0], 128), jnp.float32) + grads[0, 0, 0]
+
+    variants = [
+        ("full", []),
+        ("no-grad", [patched(ops_grad, "padded_gradient_field", no_grad)]),
+        ("no-detect", [patched(ops_ext, "detect_candidates", no_det)]),
+        ("no-refine", [patched(ops_ext, "refine_extrema_multi", no_ref)]),
+        ("no-orient", [patched(ops_ori, "assign_orientations", no_ori)]),
+        ("no-desc", [patched(ext_mod, "_dispatch_descriptors", no_desc)]),
+    ]
+
+    def slope(fn):
+        def run(k):
+            outs = [fn(images[i % 4]) for i in range(k)]
+            jax.block_until_ready(outs[-1])
+        run(2)
+        ts = {}
+        for k in (2, 10):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                run(k)
+                best = min(best, time.time() - t0)
+            ts[k] = best
+        return (ts[10] - ts[2]) / 8 * 1e3
+
+    base = None
+    for label, ctxs in variants:
+        label, fn, cs = build(label, ctxs)
+        dt = slope(fn)
+        if base is None:
+            base = dt
+            print(f"{label:10s} compile {cs:5.1f}s  {dt:7.1f} ms", flush=True)
+        else:
+            print(f"{label:10s} compile {cs:5.1f}s  {dt:7.1f} ms  "
+                  f"stage cost {base - dt:6.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
