@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: dense 26-neighbour DoG extremum detection.
+
+The XLA formulation of the strict 26-neighbour test needs lane-shifted
+views of the DoG volume; every lane-misaligned operand lowers to a full
+relayout copy of the octave (the 160 MB octave-0 volume several times
+over — ~4 ms of the fused program at 1080p).  Here each (R, C) tile is
+DMA'd once with an 8-row/128-lane margin and all 26 shifted variants are
+produced with in-register ``pltpu.roll``s; roll wraparound only pollutes
+the margin, never the tile interior that is written out.
+
+The caller pads the DoG to ``(L, 8 + nR*R + 8, 128 + nC*C + 128)`` (pad
+values are never read for valid outputs: border pixels are excluded from
+the mask exactly like the reference's offset launch grid,
+s_extrema.cu:506-517).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SiftMode
+
+
+def _tile_dims(h: int, w: int) -> tuple[int, int]:
+    # (R+16, C+256) f32 slabs x (levels+2) layers, double-buffered, plus
+    # the shift temporaries must fit VMEM: (120, 512) keeps the working
+    # set ~8 MB.
+    R = 120 if h >= 240 else max(8, -(-h // 8) * 8)
+    C = 512 if w >= 512 else max(128, -(-w // 128) * 128)
+    return R, C
+
+
+def _kernel(dog_ref, out_ref, slabs, sems, *, levels, R, C, nC, h, w,
+            gate_lo, border):
+    k = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = levels + 2
+
+    def origin(kk):
+        return (kk // nC) * R, (kk % nC) * C
+
+    def mk(kk, slot):
+        r0, c0 = origin(kk)
+        return pltpu.make_async_copy(
+            dog_ref.at[:, pl.ds(r0, R + 16), pl.ds(c0, C + 256)],
+            slabs.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        mk(0, 0).start()
+
+    @pl.when(k + 1 < n)
+    def _():
+        mk(k + 1, (k + 1) % 2).start()
+
+    mk(k, k % 2).wait()
+
+    # all shift variants are in-register 2-D rolls per layer (3-D rolls
+    # stall the Mosaic compiler); wraparound only pollutes the margin
+    def up(a):
+        return pltpu.roll(a, (R + 16) - 1, 0)
+
+    def dn(a):
+        return pltpu.roll(a, 1, 0)
+
+    def lf(a):
+        return pltpu.roll(a, (C + 256) - 1, 1)
+
+    def rt(a):
+        return pltpu.roll(a, 1, 1)
+
+    s = [slabs[k % 2, z] for z in range(levels + 2)]
+
+    # image-coordinate border exclusion for this tile
+    r0, c0 = origin(k)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (R + 16, C + 256), 0) \
+        + (r0 - 8)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (R + 16, C + 256), 1) \
+        + (c0 - 128)
+    b = border
+    inb = (xx >= b) & (xx < w - b) & (yy >= b) & (yy < h - b)
+
+    for op, name in ((jnp.maximum, "mx"), (jnp.minimum, "mn")):
+        rowe = [op(op(a, lf(a)), rt(a)) for a in s]
+        plane = [op(op(r, up(r)), dn(r)) for r in rowe]
+        if name == "mx":
+            rowe_mx, plane_mx = rowe, plane
+        else:
+            rowe_mn, plane_mn = rowe, plane
+
+    for z in range(1, levels + 1):
+        c = s[z]
+        same_mx = jnp.maximum(
+            jnp.maximum(up(rowe_mx[z]), dn(rowe_mx[z])),
+            jnp.maximum(lf(c), rt(c)))
+        nb_mx = jnp.maximum(jnp.maximum(plane_mx[z - 1], plane_mx[z + 1]),
+                            same_mx)
+        same_mn = jnp.minimum(
+            jnp.minimum(up(rowe_mn[z]), dn(rowe_mn[z])),
+            jnp.minimum(lf(c), rt(c)))
+        nb_mn = jnp.minimum(jnp.minimum(plane_mn[z - 1], plane_mn[z + 1]),
+                            same_mn)
+        mask = ((c > nb_mx) | (c < nb_mn)) \
+            & (jnp.abs(c) >= gate_lo) & inb
+        out_ref[z - 1] = mask[8:8 + R, 128:128 + C]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "h", "w", "gate_lo",
+                                    "border", "interpret"))
+def _detect_pallas(dogp, levels: int, h: int, w: int, gate_lo: float,
+                   border: int, interpret: bool = False):
+    L = levels + 2
+    R, C = _tile_dims(h, w)
+    nR = -(-h // R)
+    nC = -(-w // C)
+    kern = functools.partial(_kernel, levels=levels, R=R, C=C, nC=nC,
+                             h=h, w=w, gate_lo=gate_lo, border=border)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nR * nC,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((levels, R, C),
+                               lambda k: (0, k // nC, k % nC),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, L, R + 16, C + 256), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((levels, nR * R, nC * C),
+                                       jnp.bool_),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dogp)
+    return out[:, :h, :w]
+
+
+def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
+                  peak_threshold: float,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Dense candidate mask via the tiled roll kernel.
+
+    Numerics identical to the XLA path of
+    :func:`popsift_tpu.ops.extrema.detect_candidates` (strict 26-neighbour
+    comparison + mode contrast gate + border exclusion).
+    """
+    L, h, w = dog.shape
+    levels = L - 2
+    R, C = _tile_dims(h, w)
+    nR = -(-h // R)
+    nC = -(-w // C)
+    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - h - 8),
+                         (128, nC * C + 256 - w - 128)))
+
+    import math
+    t = float(peak_threshold)
+    if sift_mode == SiftMode.OPENCV:
+        gate_lo, border = math.floor(t), 5
+    elif sift_mode == SiftMode.VLFEAT:
+        gate_lo, border = 0.8 * 2.0 * t, 1
+    else:
+        gate_lo, border = 1.6 * t, 1
+    return _detect_pallas(dogp, levels, h, w, float(gate_lo), border,
+                          interpret=interpret)

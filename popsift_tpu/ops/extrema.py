@@ -56,6 +56,13 @@ def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
     levels = dog.shape[0] - 2
     h, w = dog.shape[-2], dog.shape[-1]
 
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and h * w >= 256 * 1024:
+        # tiled roll kernel: one HBM pass instead of 26 lane-misaligned
+        # relayouts (kernels/detect.py)
+        from ..kernels.detect import detect_pallas
+        return detect_pallas(dog, sift_mode, peak_threshold)
+
     # Border pixels are excluded by the launch-grid offset of the CUDA
     # kernel anyway (s_extrema.cu:506-517), so the 26-neighbour test runs
     # on the (h-2, w-2) interior using pure slices of the UNPADDED volume

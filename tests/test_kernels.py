@@ -69,3 +69,20 @@ def test_disable_pallas_context():
     assert not pallas_enabled()  # cpu backend in tests
     with disable_pallas():
         assert not pallas_enabled()
+
+
+def test_detect_kernel_interpret():
+    """Tiled roll-based detection == the XLA slicing formulation."""
+    from popsift_tpu.config import SiftMode
+    from popsift_tpu.kernels.detect import detect_pallas
+    from popsift_tpu.ops.extrema import detect_candidates
+
+    rng = np.random.default_rng(7)
+    for (h, w) in ((64, 144), (136, 600)):
+        dog = rng.standard_normal((5, h, w)).astype(np.float32) * 3.0
+        for mode in (SiftMode.POPSIFT, SiftMode.VLFEAT, SiftMode.OPENCV):
+            want = np.asarray(detect_candidates(
+                jnp.asarray(dog), mode, 1.2))
+            got = np.asarray(detect_pallas(
+                jnp.asarray(dog), mode, 1.2, interpret=True))
+            np.testing.assert_array_equal(got, want)
