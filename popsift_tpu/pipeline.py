@@ -135,12 +135,16 @@ class PopSift:
         self._threads_stage2 = [
             threading.Thread(target=target, daemon=True)
             for _ in range(self._n_workers)]
-        self._thread_download = threading.Thread(
-            target=self._download_loop, daemon=True)
+        # two downloaders so one batch's fetch RTT can overlap another's
+        # (the tunnel only partially overlaps transfers with compute)
+        self._threads_download = [
+            threading.Thread(target=self._download_loop, daemon=True)
+            for _ in range(2)]
         self._thread_stage1.start()
         for t in self._threads_stage2:
             t.start()
-        self._thread_download.start()
+        for t in self._threads_download:
+            t.start()
 
     # ------------------------------------------------------------------
     def configure(self, config: Config, force: bool = False) -> bool:
@@ -167,8 +171,10 @@ class PopSift:
         self._thread_stage1.join()
         for t in self._threads_stage2:
             t.join()
-        self._queue_download.put(None)
-        self._thread_download.join()
+        for _ in self._threads_download:
+            self._queue_download.put(None)
+        for t in self._threads_download:
+            t.join()
         self._isInit = False
 
     def __del__(self) -> None:

@@ -225,18 +225,27 @@ class StagedExtractor:
     # payload — which on a remotely-attached TPU is the throughput ceiling
     # (the reference's PCIe D2H, sift_pyramid.cu:304-318, has no such
     # bottleneck).
+    # "u8" halves that again (absolute error <= 2^norm_multi/510 — the
+    # precision of the reference's own uchar descriptor output,
+    # features.cu:319-323).
     def _quantize_descs(self, d):
-        if self.config.desc_transfer != "u16":
-            return d
-        bound = 2.0 ** self.plan.norm_multi
-        q = jnp.round(jnp.clip(d, 0.0, bound) * (65535.0 / bound))
-        return q.astype(jnp.uint16)
+        if self.config.desc_transfer == "u16":
+            bound = 2.0 ** self.plan.norm_multi
+            q = jnp.round(jnp.clip(d, 0.0, bound) * (65535.0 / bound))
+            return q.astype(jnp.uint16)
+        if self.config.desc_transfer == "u8":
+            bound = 2.0 ** self.plan.norm_multi
+            q = jnp.round(jnp.clip(d, 0.0, bound) * (255.0 / bound))
+            return q.astype(jnp.uint8)
+        return d
 
     def _dequantize_descs(self, arr):
-        if arr.dtype != np.uint16:
-            return arr
         bound = 2.0 ** self.plan.norm_multi
-        return arr.astype(np.float32) * (bound / 65535.0)
+        if arr.dtype == np.uint16:
+            return arr.astype(np.float32) * (bound / 65535.0)
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) * (bound / 255.0)
+        return arr
 
     def _finalize_body(self, exts, oris, descs, ks, bs, ft: int, bt: int):
         """Device-side feature finalisation: the analog of prep_features
@@ -417,8 +426,8 @@ class StagedExtractor:
         cks, ks, bs, ft, bt = key
         O = self.plan.octaves
         FT, BT = max(ft, 1), max(bt, 1)
-        desc_words = BT * (64 if self.config.desc_transfer == "u16"
-                           else 128)
+        desc_words = BT * {"u16": 64, "u8": 32}.get(
+            self.config.desc_transfer, 128)
         sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
                  ("overflows", O), ("totals", 2),
                  ("x", FT), ("y", FT), ("sigma", FT),
@@ -435,6 +444,9 @@ class StagedExtractor:
 
     @staticmethod
     def _as_u32(a):
+        if a.dtype == jnp.uint8:
+            return jax.lax.bitcast_convert_type(
+                a.reshape(a.size // 4, 4), jnp.uint32)
         if a.dtype == jnp.uint16:
             return jax.lax.bitcast_convert_type(
                 a.reshape(a.size // 2, 2), jnp.uint32)
@@ -532,8 +544,9 @@ class StagedExtractor:
             return flat[a:b].view(dt)
 
         totals = sl("totals", np.int32)
-        desc = sl("desc", np.uint16 if self.config.desc_transfer == "u16"
-                  else np.float32).reshape(BT, 128)
+        desc_dt = {"u16": np.uint16, "u8": np.uint8}.get(
+            self.config.desc_transfer, np.float32)
+        desc = sl("desc", desc_dt).reshape(BT, 128)
         return dict(
             cand_counts=sl("cand_counts", np.int32),
             counts=sl("counts", np.int32),
@@ -549,9 +562,11 @@ class StagedExtractor:
             rev=sl("rev", np.int32), desc=desc)
 
     def _dequantize_descs_dev(self, d):
+        bound = 2.0 ** self.plan.norm_multi
         if d.dtype == jnp.uint16:
-            bound = 2.0 ** self.plan.norm_multi
             return d.astype(jnp.float32) * (bound / 65535.0)
+        if d.dtype == jnp.uint8:
+            return d.astype(jnp.float32) * (bound / 255.0)
         return d
 
     # ------------------------------------------------------------------

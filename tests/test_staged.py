@@ -113,3 +113,25 @@ def test_staged_reuses_compiled_buckets(blob_image):
     staged.extract(norm)
     assert len(staged._stage2) == n2
     assert len(staged._stage3) == n3
+
+
+def test_desc_transfer_precisions(blob_image):
+    """u16/u8 fixed-point descriptor transfer stays within its bound of
+    the f32 values (u8 = the precision of the reference's own uchar
+    output, features.cu:319-323)."""
+    import dataclasses
+    norm = (blob_image.astype(np.float32) / 255.0)
+    descs = {}
+    for mode in ("f32", "u16", "u8"):
+        cfg = Config()
+        cfg.desc_transfer = mode
+        ex = StagedExtractor(cfg, norm.shape[1], norm.shape[0])
+        f = ex.extract_features(norm)      # exact path
+        f2 = ex.extract_features(norm)     # packed path
+        np.testing.assert_allclose(f.get_descriptors(), f2.get_descriptors(),
+                                   atol=2.0 / 255.0)
+        descs[mode] = np.asarray(f.get_descriptors())
+    np.testing.assert_allclose(descs["u16"], descs["f32"],
+                               atol=1.01 / 65535.0)
+    np.testing.assert_allclose(descs["u8"], descs["f32"],
+                               atol=1.01 / 255.0)
