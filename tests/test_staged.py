@@ -119,7 +119,6 @@ def test_desc_transfer_precisions(blob_image):
     """u16/u8 fixed-point descriptor transfer stays within its bound of
     the f32 values (u8 = the precision of the reference's own uchar
     output, features.cu:319-323)."""
-    import dataclasses
     norm = (blob_image.astype(np.float32) / 255.0)
     descs = {}
     for mode in ("f32", "u16", "u8"):
