@@ -26,6 +26,11 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # Respect an embedding application's own cache configuration:
+        # only install ours when none is set (via jax config or env).
+        if (jax.config.jax_compilation_cache_dir is not None
+                or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            return
         cache_dir = os.environ.get(
             "POPSIFT_TPU_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache",

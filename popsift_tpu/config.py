@@ -139,6 +139,23 @@ class Config:
     # payload is the throughput ceiling.
     desc_transfer: str = "u16"
 
+    def __post_init__(self) -> None:
+        if self.desc_transfer not in ("f32", "u16", "u8"):
+            raise ValueError(
+                "desc_transfer must be one of 'f32', 'u16', 'u8' "
+                f"(got {self.desc_transfer!r})")
+
+    def set_desc_transfer(self, mode: str) -> None:
+        """Descriptor download precision: 'f32' (exact reference numerics),
+        'u16' (default; absolute error <= 2^norm_multiplier/131070), or
+        'u8' (the precision of the reference's own uchar output,
+        features.cu:319-323)."""
+        if mode not in ("f32", "u16", "u8"):
+            raise ValueError(
+                "desc_transfer must be one of 'f32', 'u16', 'u8' "
+                f"(got {mode!r})")
+        self.desc_transfer = mode
+
     # ------------------------------------------------------------------
     # Setter API mirroring the reference (sift_conf.h:143-334)
     # ------------------------------------------------------------------

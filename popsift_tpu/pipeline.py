@@ -55,13 +55,19 @@ class SiftJob:
     buffer can be reused immediately.
     """
 
-    def __init__(self, w: int, h: int, image_data: np.ndarray) -> None:
+    def __init__(self, w: int, h: int, image_data: np.ndarray,
+                 config: Config | None = None) -> None:
         self._w = w
         self._h = h
         self._image_data = np.array(image_data, copy=True).reshape(h, w)
         self._f: Future = Future()
         self._err: BaseException | None = None
         self._device_image = None
+        # Config snapshot at enqueue time: a configure() call must not
+        # affect jobs already in flight (the reference refuses
+        # reconfiguration after pyramid allocation, popsift.cpp:79-89;
+        # here each job simply carries its enqueue-time config).
+        self._config = config
 
     # stage-1: normalize + move to device (SiftJob::setImg analog)
     def set_img(self, device_image) -> None:
@@ -241,7 +247,9 @@ class PopSift:
                   file=sys.stderr)
             return None
 
-        job = SiftJob(w, h, arr)
+        # snapshot: configure() swaps self._config for a fresh clone, so
+        # in-flight jobs keep extracting with their enqueue-time object
+        job = SiftJob(w, h, arr, config=self._config)
         self._queue_stage1.put(job)
         return job
 
@@ -305,13 +313,26 @@ class PopSift:
         steady state takes the packed fused path (one dispatch, one
         compact readback)."""
         from .staged import get_staged_extractor
-        ex = get_staged_extractor(self._config, job._w, job._h)
+        ex = get_staged_extractor(job._config, job._w, job._h)
         return ex.extract_features(job.get_img(), want_dev=want_dev)
+
+    def _fail_job(self, job: SiftJob, err: BaseException | None) -> None:
+        """Complete a job as failed, preserving an already-recorded error
+        (e.g. from a failed upload) over a derived one."""
+        self._pool.release()
+        if job._err is None and err is not None:
+            job.set_error(err)
+        job.set_features(None)
 
     def _dispatch_single(self, job: SiftJob) -> None:
         from .staged import get_staged_extractor
+        if job.get_img() is None:
+            # upload failed: its error is already recorded; don't let the
+            # extraction path overwrite it with a derived TypeError
+            self._fail_job(job, RuntimeError("image upload failed"))
+            return
         try:
-            ex = get_staged_extractor(self._config, job._w, job._h)
+            ex = get_staged_extractor(job._config, job._w, job._h)
             pending = ex.extract_dispatch(job.get_img())
             if pending is None:
                 feats = ex.extract_features(job.get_img())
@@ -319,9 +340,7 @@ class PopSift:
             else:
                 self._queue_download.put(("single", job, ex, pending))
         except BaseException as e:  # noqa: BLE001
-            self._pool.release()
-            job.set_error(e)
-            job.set_features(None)
+            self._fail_job(job, e)
 
     def _extract_dispatch_loop(self) -> None:
         """Stage-2 worker: dispatch fused extraction programs (async,
@@ -337,9 +356,12 @@ class PopSift:
             job = self._queue_stage2.get()
             if job is None:
                 return
+            if job.get_img() is None:  # failed upload: never batch it
+                self._fail_job(job, RuntimeError("image upload failed"))
+                continue
             batch = [job]
             others: list[SiftJob] = []
-            ex = get_staged_extractor(self._config, job._w, job._h)
+            ex = get_staged_extractor(job._config, job._w, job._h)
             if ex._last_key5 is not None:
                 while len(batch) < ex.BATCH:
                     try:
@@ -349,7 +371,12 @@ class PopSift:
                     if nxt is None:
                         self._queue_stage2.put(None)  # re-post sentinel
                         break
-                    if (nxt._w, nxt._h) == (job._w, job._h):
+                    if nxt.get_img() is None:
+                        self._fail_job(
+                            nxt, RuntimeError("image upload failed"))
+                        continue
+                    if ((nxt._w, nxt._h) == (job._w, job._h)
+                            and nxt._config is job._config):
                         batch.append(nxt)
                     else:
                         others.append(nxt)
@@ -361,9 +388,7 @@ class PopSift:
                 except BaseException as e:  # noqa: BLE001
                     pending = None
                     for j in batch:
-                        self._pool.release()
-                        j.set_error(e)
-                        j.set_features(None)
+                        self._fail_job(j, e)
                     batch = []
                 if pending is not None:
                     self._queue_download.put(("batch", batch, ex, pending))
@@ -403,9 +428,7 @@ class PopSift:
                 for entry in batch:
                     jobs = [entry[1]] if entry[0] == "single" else entry[1]
                     for job in jobs:
-                        self._pool.release()
-                        job.set_error(e)
-                        job.set_features(None)
+                        self._fail_job(job, e)
                 continue
             for (kind, jobs, ex, pending), flat in zip(batch, flats):
                 if kind == "single":
@@ -423,15 +446,13 @@ class PopSift:
                     for job in jobs:
                         if job._f.done():
                             continue  # finished before the failure
-                        self._pool.release()
-                        job.set_error(e)
-                        job.set_features(None)
+                        self._fail_job(job, e)
 
     def _finish_job(self, job: SiftJob, feats) -> None:
         self._pool.release()  # image no longer needed
-        if self._config.log_mode == LogMode.ALL:
+        if job._config.log_mode == LogMode.ALL:
             from .debugdump import dump_all
-            dump_all(self._config, job, "pyramid")
+            dump_all(job._config, job, "pyramid")
         job.set_features(feats)
 
     def _match_prepare_loop(self) -> None:
@@ -439,11 +460,12 @@ class PopSift:
             job = self._queue_stage2.get()
             if job is None:
                 return
+            if job.get_img() is None:
+                self._fail_job(job, RuntimeError("image upload failed"))
+                continue
             try:
                 feats = self._run_extraction(job, want_dev=True)
                 self._pool.release()
                 job.set_features(feats)
             except BaseException as e:  # noqa: BLE001
-                self._pool.release()
-                job.set_error(e)
-                job.set_features(None)
+                self._fail_job(job, e)

@@ -261,6 +261,12 @@ class StagedExtractor:
         plan = self.plan
         up = plan.upscale_factor
 
+        # placeholder descriptor dtype must follow the configured transfer
+        # precision so the flat buffer's length always equals
+        # _flat_layout()['_total'], even when a bucket is 0
+        desc_dtype = {"u16": jnp.uint16, "u8": jnp.uint8}.get(
+            self.config.desc_transfer, jnp.float32)
+
         parts = [o for o in range(plan.octaves) if ks[o] > 0]
         if not parts or ft == 0:
             z = jnp.zeros((max(ft, 1),), jnp.float32)
@@ -268,8 +274,7 @@ class StagedExtractor:
             return dict(
                 x=z, y=z, sigma=z, num_ori=zi, idx_ori=zi, octave=zi,
                 orientation=jnp.zeros((max(ft, 1), 4), jnp.float32),
-                desc=jnp.zeros((max(bt, 1), 128), descs[0].dtype
-                               if descs else jnp.float32),
+                desc=jnp.zeros((max(bt, 1), 128), desc_dtype),
                 rev=jnp.zeros((max(bt, 1),), jnp.int32),
                 ext_total=jnp.int32(0), ori_total=jnp.int32(0))
 
@@ -347,8 +352,7 @@ class StagedExtractor:
             drows = jnp.where(valid_d[:, None], d_c[src_d], 0)
             ori_total = bounds_d[-1]
         else:
-            drows = jnp.zeros((max(bt, 1), 128),
-                              descs[0].dtype if descs else jnp.float32)
+            drows = jnp.zeros((max(bt, 1), 128), desc_dtype)
             valid_d = jnp.zeros((max(bt, 1),), bool)
             j = jnp.arange(max(bt, 1), dtype=jnp.int32)
             ori_total = jnp.int32(0)
