@@ -45,7 +45,13 @@ def main() -> int:
     h, w = 1080, 1920
     config = Config()
 
-    images = [make_1080p_image(seed) for seed in range(4)]
+    # 24 DISTINCT frames for the timed section: a real video/SfM stream
+    # never repeats, so the pipeline's content-digest upload cache must
+    # not eat the benchmark.  4 separate warmup scenes compile the
+    # programs (single + batch-of-4 fused).
+    n_jobs = 24
+    warm_images = [make_1080p_image(seed) for seed in range(100, 104)]
+    images = [make_1080p_image(seed) for seed in range(n_jobs)]
 
     with PopSift(config, workers=4) as ps:
         # warm up: compiles + optimistic-bucket adaptation.  The second
@@ -53,27 +59,38 @@ def main() -> int:
         # program compiles during warmup, not in the timed section.
         t0 = time.time()
         for rep in (1, 2):
-            jobs = [ps.enqueue(w, h, images[i % len(images)])
-                    for i in range(rep * len(images))]
+            jobs = [ps.enqueue(w, h, warm_images[i % len(warm_images)])
+                    for i in range(rep * len(warm_images))]
             feats = [j.get() for j in jobs]
         print(f"# warmup (compile) {time.time() - t0:.1f}s "
               f"features={[f.get_feature_count() for f in feats]}",
               file=sys.stderr)
 
-        # timed: pipelined throughput, enqueue-all-then-drain like the
-        # reference application (main.cpp:305-325)
-        n_jobs = 24
+        # timed: pipelined throughput over DISTINCT frames,
+        # enqueue-all-then-drain like the reference application
+        # (main.cpp:305-325)
         t0 = time.time()
-        jobs = [ps.enqueue(w, h, images[i % len(images)])
-                for i in range(n_jobs)]
+        jobs = [ps.enqueue(w, h, images[i]) for i in range(n_jobs)]
         total = 0
         for j in jobs:
             total += j.get().get_feature_count()
         dt = (time.time() - t0) / n_jobs
 
+        # side-note: repeated-frame scenario (upload digest-cache hit;
+        # static-scene / re-extraction use case) — NOT the headline
+        t0 = time.time()
+        jobs = [ps.enqueue(w, h, warm_images[i % len(warm_images)])
+                for i in range(n_jobs)]
+        for j in jobs:
+            j.get()
+        dt_cached = (time.time() - t0) / n_jobs
+
     fps = 1.0 / dt
-    print(f"# {dt * 1e3:.1f} ms/image -> {fps:.2f} images/s "
-          f"({total} features total)", file=sys.stderr)
+    print(f"# {dt * 1e3:.1f} ms/image -> {fps:.2f} images/s over "
+          f"{n_jobs} distinct frames ({total} features total)",
+          file=sys.stderr)
+    print(f"# repeated-frame (cached-upload) scenario: "
+          f"{1.0 / dt_cached:.2f} images/s", file=sys.stderr)
     print(json.dumps({
         "metric": "sift_extraction_1080p_fps",
         "value": round(fps, 3),

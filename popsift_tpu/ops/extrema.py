@@ -136,28 +136,51 @@ def compact_mask(mask: jnp.ndarray, cap: int):
     if pad:
         flat = jnp.pad(flat, (0, pad))
     big = jnp.int32(n + 1)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (nb, _BLOCK), 0) * _BLOCK \
-        + jax.lax.broadcasted_iota(jnp.int32, (nb, _BLOCK), 1)
-    keys = jnp.where(flat.reshape(nb, _BLOCK), lin, big)
 
+    # Pack each 1024-element block into 32 uint32 bit-words: all further
+    # extraction work then runs on a 32x smaller array (the earlier
+    # formulation iterated min-extraction over a full (nb, 1024) i32 key
+    # array — 16 passes over 100 MB at 1080p, ~7 ms of the fused program).
+    flat2 = flat.reshape(nb, _BLOCK)
+    weights = jnp.asarray((1 << np.arange(32, dtype=np.int64))
+                          .astype(np.uint32))
+    word_cols = []
+    for j in range(_BLOCK // 32):
+        seg = flat2[:, j * 32:(j + 1) * 32]
+        word_cols.append(
+            jnp.sum(seg.astype(jnp.uint32) * weights[None, :], axis=1,
+                    dtype=jnp.uint32))
+    words = jnp.stack(word_cols, axis=1)               # (nb, 32) u32
+
+    # extract the first _PER_BLOCK set bits per block, in raster order:
+    # find the first nonzero word, strip its lowest set bit, repeat
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 32), 1)
+    block_base = jnp.arange(nb, dtype=jnp.int32) * _BLOCK
     recs = []
     for _ in range(_PER_BLOCK):
-        m = jnp.min(keys, axis=1, keepdims=True)      # (nb, 1)
-        recs.append(m[:, 0])
-        keys = jnp.where(keys == m, big, keys)
+        nz = words != 0
+        widx = jnp.min(jnp.where(nz, lane, 33), axis=1)          # (nb,)
+        sel = lane == widx[:, None]
+        wsel = jnp.max(jnp.where(sel, words, 0), axis=1)         # (nb,) u32
+        low = wsel & (~wsel + jnp.uint32(1))
+        pos = jax.lax.population_count(low - jnp.uint32(1)) \
+            .astype(jnp.int32)
+        found = widx < 33
+        recs.append(jnp.where(found,
+                              block_base + widx * 32 + pos, big))
+        words = jnp.where(sel, words & ~low[:, None], words)
     rec = jnp.stack(recs, axis=1)                      # (nb, _PER_BLOCK)
 
-    # compact the survivor table (raster order is preserved: block-major,
-    # ascending within block)
+    # compact the survivor table: ascending sort moves the big sentinels
+    # past every valid linear index while preserving raster order
     rflat = rec.reshape(-1)
     rvalid = rflat < big
-    incl = jnp.cumsum(rvalid.astype(jnp.int32))
-    idx = incl - 1
-    dest = jnp.where(rvalid & (idx < cap), idx, cap)
-    buf = jnp.zeros((cap,), jnp.int32).at[dest].set(
-        jnp.minimum(rflat, n - 1), mode="drop")
+    if cap > rflat.shape[0]:
+        rflat = jnp.pad(rflat, (0, cap - rflat.shape[0]),
+                        constant_values=n + 1)
+    buf = jnp.minimum(jax.lax.sort(rflat)[:cap], n - 1)
 
-    kept = jnp.minimum(incl[-1], cap)
+    kept = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), cap)
     count = kept
     overflow = total - count
     valid = jnp.arange(cap, dtype=jnp.int32) < count
