@@ -291,6 +291,122 @@ PyObject* py_rgb_to_grey(PyObject*, PyObject* args) {
     return reinterpret_cast<PyObject*>(out);
 }
 
+// ---------------------------------------------------------------------
+// E4 wire-codec encoder (popsift_tpu/wirecodec.py is the format spec;
+// the XLA decoder lives there).  Nibble stream + escape bytes behind a
+// 16-byte header; returns None when the stream would not beat raw.
+// ---------------------------------------------------------------------
+
+constexpr uint32_t kE4Magic = 0x50C0DEC4u;
+constexpr int kE4HeaderBytes = 16;
+constexpr uint8_t kE4Esc = 15;
+
+PyObject* py_encode_e4(PyObject*, PyObject* args) {
+    PyObject* in = nullptr;
+    long bucket = 128 * 1024;
+    if (!PyArg_ParseTuple(args, "O|l", &in, &bucket)) return nullptr;
+    PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
+        PyArray_FROM_OTF(in, NPY_UINT8, NPY_ARRAY_C_CONTIGUOUS));
+    if (!arr) return nullptr;
+    if (PyArray_NDIM(arr) != 2) {
+        Py_DECREF(arr);
+        PyErr_SetString(PyExc_ValueError, "expected (H, W) uint8 array");
+        return nullptr;
+    }
+    const int64_t h = PyArray_DIM(arr, 0), w = PyArray_DIM(arr, 1);
+    const int64_t total = h * w;
+    const uint8_t* src = static_cast<uint8_t*>(PyArray_DATA(arr));
+
+    std::vector<uint8_t> zig(static_cast<size_t>(total));
+    const int nchunks = 16;
+    const int64_t rows_per = (h + nchunks - 1) / nchunks;
+    int64_t esc_count[nchunks];
+    std::memset(esc_count, 0, sizeof(esc_count));
+
+    Py_BEGIN_ALLOW_THREADS
+    // pass 1: zigzagged row deltas + per-chunk escape counts
+    parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
+        for (int64_t c = clo; c < chi; ++c) {
+            int64_t y0 = c * rows_per, y1 = y0 + rows_per;
+            if (y1 > h) y1 = h;
+            int64_t esc = 0;
+            for (int64_t y = y0; y < y1; ++y) {
+                const uint8_t* row = src + y * w;
+                uint8_t* zrow = zig.data() + y * w;
+                uint8_t prev = 0;
+                for (int64_t x = 0; x < w; ++x) {
+                    int8_t d = static_cast<int8_t>(row[x] - prev);
+                    prev = row[x];
+                    uint8_t z = static_cast<uint8_t>((d << 1) ^ (d >> 7));
+                    zrow[x] = z;
+                    esc += (z >= kE4Esc);
+                }
+            }
+            esc_count[c] = esc;
+        }
+    });
+    Py_END_ALLOW_THREADS
+
+    int64_t n_esc = 0;
+    int64_t esc_off[nchunks];
+    for (int c = 0; c < nchunks; ++c) {
+        esc_off[c] = n_esc;
+        n_esc += esc_count[c];
+    }
+
+    const int64_t nlen = (total + 1) / 2;
+    const int64_t payload = kE4HeaderBytes + nlen + n_esc;
+    if (payload >= total) {
+        Py_DECREF(arr);
+        Py_RETURN_NONE;
+    }
+    const int64_t out_len = (payload + bucket - 1) / bucket * bucket;
+
+    npy_intp dims[1] = {out_len};
+    PyArrayObject* out = reinterpret_cast<PyArrayObject*>(
+        PyArray_ZEROS(1, dims, NPY_UINT8, 0));
+    if (!out) {
+        Py_DECREF(arr);
+        return nullptr;
+    }
+    uint8_t* dst = static_cast<uint8_t*>(PyArray_DATA(out));
+
+    Py_BEGIN_ALLOW_THREADS
+    uint32_t header[4] = {kE4Magic, static_cast<uint32_t>(n_esc), 0, 0};
+    std::memcpy(dst, header, kE4HeaderBytes);
+    uint8_t* s4 = dst + kE4HeaderBytes;
+    uint8_t* ebase = s4 + nlen;
+    // pass 2: pack nibbles (flat pairs) and write escape bytes; escape
+    // offsets are per-chunk so chunks pack independently — but nibble
+    // pairs straddle chunk boundaries when a chunk covers an odd pixel
+    // count, so nibbles are packed over the flat index space instead.
+    parallel_for(nlen, 1 << 15, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t a = zig[2 * i], b =
+                (2 * i + 1 < total) ? zig[2 * i + 1] : 0;
+            if (a >= kE4Esc) a = kE4Esc;
+            if (b >= kE4Esc) b = kE4Esc;
+            s4[i] = static_cast<uint8_t>(a | (b << 4));
+        }
+    });
+    parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
+        for (int64_t c = clo; c < chi; ++c) {
+            int64_t y0 = c * rows_per, y1 = y0 + rows_per;
+            if (y1 > h) y1 = h;
+            uint8_t* e = ebase + esc_off[c];
+            const uint8_t* z = zig.data() + y0 * w;
+            const uint8_t* zend = zig.data() + y1 * w;
+            for (; z < zend; ++z) {
+                if (*z >= kE4Esc) *e++ = *z;
+            }
+        }
+    });
+    Py_END_ALLOW_THREADS
+
+    Py_DECREF(arr);
+    return reinterpret_cast<PyObject*>(out);
+}
+
 PyMethodDef kMethods[] = {
     {"read_pgm", py_read_pgm, METH_VARARGS,
      "read_pgm(path) -> (H, W) uint8 grey array"},
@@ -298,6 +414,8 @@ PyMethodDef kMethods[] = {
      "normalize_u8(u8 array) -> float32 array / 255"},
     {"rgb_to_grey", py_rgb_to_grey, METH_VARARGS,
      "rgb_to_grey((H,W,3) u8) -> (H,W) u8 via OpenCV coefficients"},
+    {"encode_e4", py_encode_e4, METH_VARARGS,
+     "encode_e4((H,W) u8 [, bucket]) -> wire buffer u8 array or None"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -43,7 +43,28 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _enable_debug_mode() -> None:
+    """POPSIFT_TPU_DEBUG=1: kernel-debug mode.
+
+    The analog of the reference's PopSift_ERRCHK_AFTER_KERNEL /
+    DEBUG_INIT_DEVICE_ALLOCATIONS debug builds (debug_macros.h:26-32,
+    debug_macros.cu:33-35): Pallas kernels run in interpret mode
+    (kernels/dispatch.py:kernel_interpret) and jax_debug_nans pinpoints
+    the op that produced a NaN instead of the final readback."""
+    import os
+
+    if os.environ.get("POPSIFT_TPU_DEBUG", "") in ("", "0"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    except Exception:  # pragma: no cover
+        pass
+
+
 _enable_compilation_cache()
+_enable_debug_mode()
 
 from .config import (Config, DescMode, GaussMode, GridFilterMode, ImageMode,
                      LogMode, NormMode, ProcessingMode, ScalingMode, SiftMode,

@@ -14,6 +14,7 @@ import time
 from ..config import Config
 from ..io.pgm import read_pgm
 from ..pipeline import PopSift
+from ..tracing import BriefDuration
 from .common import (add_common_options, apply_platform_override,
                      collect_filenames, config_from_args,
                      maybe_print_gauss_tables, print_device_info)
@@ -75,14 +76,26 @@ def main(argv: list[str] | None = None) -> int:
     from ..config import ImageMode
     imode = ImageMode.FLOAT if args.float_mode else ImageMode.BYTE
     with PopSift(config, imode=imode) as popsift:
+        # phase timers like the reference's nvtx/BriefDuration pairs
+        # around enqueue and drain (main.cpp:118, popsift.cpp:441-452);
+        # reported only under --print-time-info
+        t_enqueue = BriefDuration("Enqueue (load + upload dispatch)")
+        t_drain = BriefDuration("Extraction (drain)")
+        t_enqueue.start()
         jobs = []
         for f in input_files:
             job = process_image(f, popsift, args.float_mode,
                                 args.print_time_info)
             if job is not None:
                 jobs.append(job)
+        t_enqueue.stop()
+        t_drain.start()
         for job in jobs:
             read_job(job, not args.dont_write, args.write_as_uchar)
+        t_drain.stop()
+        if args.print_time_info:
+            t_enqueue.report()
+            t_drain.report()
     return 0
 
 

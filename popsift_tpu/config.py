@@ -114,6 +114,8 @@ class Config:
     scaling_mode: ScalingMode = ScalingMode.SCALE_DEFAULT
     desc_mode: DescMode = DescMode.LOOP
     grid_filter_mode: GridFilterMode = GridFilterMode.RANDOM_SCALE
+    # accepted for API parity; the reference itself never reads it either
+    # (set in sift_conf.cu:151, consumed nowhere in src/popsift)
     verbose: bool = False
     max_extrema: int = 100000
     filter_max_extrema: int = -1

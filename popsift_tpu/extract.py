@@ -165,12 +165,11 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
     Coordinates are octave-local (scaling to input coordinates is
     ``prep_features``' job, sift_pyramid.cu:250-280, done host-side).
     """
-    stacks = ops_pyr.build_pyramid(
+    stacks, dogs = ops_pyr.build_pyramid_and_dogs(
         image, gauss, plan.dims, plan.levels, plan.gauss_mode,
         plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
 
     out: dict[str, Any] = {"octaves": []}
-    dogs = [ops_pyr.make_dog(stack) for stack in stacks]
     if return_pyramid:
         out["pyramid"] = stacks
         out["dog"] = dogs

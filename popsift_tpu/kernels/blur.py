@@ -33,10 +33,17 @@ def _round128(x: int) -> int:
     return -(-x // 128) * 128
 
 
-def _blur_kernel(taps_h, span_h, taps_v, span_v, hscale,
+def _blur_kernel(taps_h, span_h, taps_v, span_v, hscale, emit_dog,
                  bh, w, pad_x, halo,
-                 src_ref, out_ref, slab, sems):
-    """Grid: (ceil(H/bh),). src is (Hp, Wp) edge-padded; out is (H, W)."""
+                 src_ref, *refs):
+    """Grid: (ceil(H/bh),). src is (Hp, Wp) edge-padded; out is (H, W);
+    with emit_dog a second (H, W) output gets out - source (the DoG layer
+    between this level and its source, make_dog s_pyramid_build.cu:74-92,
+    for free while both live in VMEM)."""
+    if emit_dog:
+        out_ref, dog_ref, slab, sems = refs
+    else:
+        out_ref, slab, sems = refs
     i = pl.program_id(0)
 
     rows = bh + 2 * halo
@@ -63,14 +70,17 @@ def _blur_kernel(taps_h, span_h, taps_v, span_v, hscale,
         out = out * hscale
 
     out_ref[...] = out
+    if emit_dog:
+        dog_ref[...] = out - slab[halo:halo + bh, pad_x:pad_x + w]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("taps_h", "span_h", "taps_v", "span_v", "hscale",
-                     "h", "w", "interpret"))
+                     "h", "w", "emit_dog", "interpret"))
 def _sep_blur_pallas(padded, taps_h, span_h, taps_v, span_v, hscale,
-                     h: int, w: int, interpret: bool = False):
+                     h: int, w: int, emit_dog: bool = False,
+                     interpret: bool = False):
     halo = _round8(span_v - 1)
     pad_x = _round128(span_h - 1)
     bh = 32 if h >= 32 else _round8(max(h, 8))
@@ -78,19 +88,23 @@ def _sep_blur_pallas(padded, taps_h, span_h, taps_v, span_v, hscale,
     h_pad = grid[0] * bh
 
     rows = bh + 2 * halo
-    out = pl.pallas_call(
+    out_spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((h_pad, w), jnp.float32)
+    res = pl.pallas_call(
         functools.partial(_blur_kernel, taps_h, span_h, taps_v, span_v,
-                          hscale, bh, w, pad_x, halo),
+                          hscale, emit_dog, bh, w, pad_x, halo),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((bh, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h_pad, w), jnp.float32),
+        out_specs=[out_spec, out_spec] if emit_dog else out_spec,
+        out_shape=[out_shape, out_shape] if emit_dog else out_shape,
         scratch_shapes=[pltpu.VMEM((rows, w + 2 * pad_x), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(padded)
-    return out[:h]
+    if emit_dog:
+        return res[0][:h], res[1][:h]
+    return res[:h]
 
 
 def sep_blur_fused(img: jnp.ndarray,
@@ -110,7 +124,7 @@ def sep_blur_fused(img: jnp.ndarray,
     span_v = int(span_v)
     h, w = img.shape
 
-    from .dispatch import pallas_enabled
+    from .dispatch import kernel_interpret, pallas_enabled
     # the kernel wins on large planes; for small octaves the per-launch
     # overhead (~0.3 ms) exceeds the whole XLA blur, which also fuses into
     # neighbouring ops
@@ -135,4 +149,38 @@ def sep_blur_fused(img: jnp.ndarray,
                            (pad_x, pad_x + (w128 - w))),
                      mode="edge")
     return _sep_blur_pallas(padded, th, span_h, tv, span_v, float(hscale),
-                            h, w128)[:, :w]
+                            h, w128, interpret=kernel_interpret())[:, :w]
+
+
+def sep_blur_fused_with_dog(img: jnp.ndarray, taps: np.ndarray,
+                            span: int, interpret: bool | None = None):
+    """Separable blur + the DoG layer (blurred - img) in one kernel pass.
+
+    Returns (blurred, dog).  The DoG subtraction is free while source and
+    result are both in VMEM — the separate make_dog pass re-reads both
+    full levels from HBM.  Falls back to composed XLA ops off-TPU."""
+    span = int(span)
+    h, w = img.shape
+
+    from .dispatch import kernel_interpret, pallas_enabled
+    interpret = kernel_interpret(interpret)
+    if not (pallas_enabled() or interpret) or h < 8 \
+            or h * w < (1 << 18) or span <= 1:
+        from ..ops.pyramid import blur_1d
+        out = blur_1d(img, np.asarray(taps), span, axis=-1)
+        out = blur_1d(out, np.asarray(taps), span, axis=-2)
+        return out, out - img
+
+    t = tuple(float(x) for x in np.asarray(taps)[:span])
+    halo = _round8(span - 1)
+    pad_x = _round128(span - 1)
+    bh = 32 if h >= 32 else _round8(max(h, 8))
+    h_pad = (-(-h // bh)) * bh
+    w128 = _round128(w)
+    padded = jnp.pad(img, ((halo, halo + (h_pad - h)),
+                           (pad_x, pad_x + (w128 - w))),
+                     mode="edge")
+    out, dog = _sep_blur_pallas(padded, t, span, t, span, 1.0,
+                                h, w128, emit_dog=True,
+                                interpret=interpret)
+    return out[:, :w], dog[:, :w]

@@ -146,7 +146,7 @@ def _detect_pallas(dogp, levels: int, h: int, w: int, gate_lo: float,
 
 def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
                   peak_threshold: float,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool | None = None) -> jnp.ndarray:
     """Dense candidate mask via the tiled roll kernel.
 
     Numerics identical to the XLA path of
@@ -169,5 +169,6 @@ def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
         gate_lo, border = 0.8 * 2.0 * t, 1
     else:
         gate_lo, border = 1.6 * t, 1
+    from .dispatch import kernel_interpret
     return _detect_pallas(dogp, levels, h, w, float(gate_lo), border,
-                          interpret=interpret)
+                          interpret=kernel_interpret(interpret))

@@ -157,8 +157,11 @@ def gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z, active=None,
     else:
         act = active.astype(jnp.int32)
 
-    from .dispatch import pallas_enabled
-    use_pallas = pallas_enabled() if interpret is None else True
+    from .dispatch import kernel_interpret, pallas_enabled
+    # explicit interpret=True forces the Pallas path in interpret mode
+    # (kernel unit tests on CPU); debug mode does the same globally
+    interpret = kernel_interpret(interpret)
+    use_pallas = pallas_enabled() or interpret
     # the scalar-prefetch arrays must fit in SMEM (1 MiB)
     if z.shape[0] > 16384:
         use_pallas = False

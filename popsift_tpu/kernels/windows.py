@@ -131,7 +131,9 @@ def gather_windows_aligned(field: jnp.ndarray, lpos: jnp.ndarray,
     ya, xa = align_starts(y0, x0)
     win_y, win_x = aligned_window_dims(win)
     if _use_pallas():
-        return (gather_windows_aligned_pallas(field, lpos, ya, xa, win),
+        from .dispatch import kernel_interpret
+        return (gather_windows_aligned_pallas(field, lpos, ya, xa, win,
+                                              interpret=kernel_interpret()),
                 ya, xa)
 
     def one(l, y, x):

@@ -96,9 +96,10 @@ def gather_windows_exact(field: jnp.ndarray, lpos: jnp.ndarray,
     xa = ((x0 // 128) * 128).astype(jnp.int32)
     dx0 = (x0 - xa).astype(jnp.int32)
 
-    from .dispatch import pallas_enabled
+    from .dispatch import kernel_interpret, pallas_enabled
     if pallas_enabled():
-        return (gather_windows_rolled_pallas(field, lpos, ya, xa, dx0, win),
+        return (gather_windows_rolled_pallas(field, lpos, ya, xa, dx0, win,
+                                             interpret=kernel_interpret()),
                 ya)
 
     def one(l, y, x):

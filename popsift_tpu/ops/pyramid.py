@@ -289,3 +289,74 @@ def build_pyramid(image: jnp.ndarray,
 
         stacks.append(jnp.stack(lvls))
     return stacks
+
+
+def build_pyramid_and_dogs(image: jnp.ndarray,
+                           gauss: GaussInfo,
+                           dims: tuple[tuple[int, int], ...],
+                           levels: int,
+                           gauss_mode: GaussMode,
+                           scaling_mode: ScalingMode,
+                           sift_mode: SiftMode,
+                           upscale_factor: float):
+    """Scale space + DoG together.
+
+    For every incremental-chain configuration (everything except the
+    Fixed9/15 all-from-level-0 families and VLFeat_Relative_All's
+    octave 0) each level's DoG layer is emitted by the level's own blur
+    kernel while source and result are both in VMEM
+    (kernels/blur.py:sep_blur_fused_with_dog) — the separate make_dog
+    pass re-read every full level from HBM.  Identical numerics to
+    build_pyramid + make_dog.
+    """
+    L = levels + 3
+    fixed = gauss_mode in (GaussMode.FIXED9, GaussMode.FIXED15)
+    direct_requested = scaling_mode == ScalingMode.SCALE_DIRECT
+    direct = direct_requested and not fixed
+    if fixed:
+        stacks = build_pyramid(image, gauss, dims, levels, gauss_mode,
+                               scaling_mode, sift_mode, upscale_factor)
+        return stacks, [make_dog(s) for s in stacks]
+
+    from ..kernels.blur import sep_blur_fused_with_dog
+
+    stacks: list[jnp.ndarray] = []
+    dogs: list[jnp.ndarray] = []
+    for octave in range(len(dims)):
+        w, h = dims[octave]
+        shift = input_shift(sift_mode, upscale_factor, octave)
+        if gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
+            base = resample_input(image, h, w, shift)
+            t = gauss.abs_o0
+            stack = jnp.stack([
+                _fused(base, t.filter[lvl], t.span[lvl], hscale=255.0)
+                for lvl in range(L)])
+            stacks.append(stack)
+            dogs.append(make_dog(stack))
+            continue
+        # level 0 exactly as build_pyramid builds it
+        if octave == 0:
+            base = resample_input(image, h, w, shift)
+            lvl0 = _fused(base, gauss.dd.filter[0], gauss.dd.span[0],
+                          gauss.inc.filter[0], gauss.inc.span[0],
+                          hscale=255.0)
+        elif direct:
+            base = resample_input(image, h, w, shift)
+            lvl0 = _fused(base, gauss.dd.filter[octave],
+                          gauss.dd.span[octave],
+                          gauss.inc.filter[0], gauss.inc.span[0],
+                          hscale=255.0)
+        else:
+            src = stacks[octave - 1][L - PREV_LEVEL]
+            lvl0 = downscale_by_2(src)[:h, :w]
+        lvls = [lvl0]
+        lvl_dogs = []
+        for lvl in range(1, L):
+            nxt, dog = sep_blur_fused_with_dog(
+                lvls[lvl - 1], gauss.inc.filter[lvl],
+                int(gauss.inc.span[lvl]))
+            lvls.append(nxt)
+            lvl_dogs.append(dog)
+        stacks.append(jnp.stack(lvls))
+        dogs.append(jnp.stack(lvl_dogs))
+    return stacks, dogs

@@ -133,8 +133,15 @@ class PopSift:
         self._n_workers = max(1, int(workers))
         self._pool = threading.Semaphore(2 * self._n_workers + 4)
 
-        self._thread_stage1 = threading.Thread(
-            target=self._upload_images, daemon=True)
+        # several uploaders: the H2D wire moves ~24 MB/s per stream but
+        # ~36 MB/s aggregate over concurrent streams (tools/probe_wire.py),
+        # and the host-side wire-codec encode parallelizes across jobs
+        self._n_uploaders = 3
+        self._upload_lock = threading.Lock()
+        self._upload_cache: dict = {}
+        self._threads_stage1 = [
+            threading.Thread(target=self._upload_images, daemon=True)
+            for _ in range(self._n_uploaders)]
         target = (self._extract_dispatch_loop
                   if self._proc_mode == ProcessingMode.EXTRACTING
                   else self._match_prepare_loop)
@@ -146,7 +153,8 @@ class PopSift:
         self._threads_download = [
             threading.Thread(target=self._download_loop, daemon=True)
             for _ in range(2)]
-        self._thread_stage1.start()
+        for t in self._threads_stage1:
+            t.start()
         for t in self._threads_stage2:
             t.start()
         for t in self._threads_download:
@@ -173,8 +181,10 @@ class PopSift:
             print("[warning] Attempt to release resources from an "
                   "uninitialized instance", file=sys.stderr)
             return
-        self._queue_stage1.put(None)
-        self._thread_stage1.join()
+        for _ in self._threads_stage1:
+            self._queue_stage1.put(None)
+        for t in self._threads_stage1:
+            t.join()
         for t in self._threads_stage2:
             t.join()
         for _ in self._threads_download:
@@ -277,12 +287,18 @@ class PopSift:
         import hashlib
 
         import jax
-        cache: dict[bytes, object] = {}
+
+        from .wirecodec import upload_image_u8
+        cache = self._upload_cache
         while True:
             job = self._queue_stage1.get()
             if job is None:
-                for _ in range(self._n_workers):
-                    self._queue_stage2.put(None)
+                with self._upload_lock:
+                    self._n_uploaders -= 1
+                    last = self._n_uploaders == 0
+                if last:
+                    for _ in range(self._n_workers):
+                        self._queue_stage2.put(None)
                 return
             self._pool.acquire()  # backpressure: bounded staged images
             try:
@@ -290,17 +306,22 @@ class PopSift:
                 digest = hashlib.blake2b(
                     data.tobytes(), digest_size=16).digest()
                 key = (digest, data.shape, str(data.dtype))
-                dev = cache.pop(key, None)
+                with self._upload_lock:
+                    dev = cache.get(key)
                 if dev is None:
                     if data.dtype == np.uint8:
-                        # upload bytes; normalization happens on-device
-                        dev = jax.device_put(data, self._device)
+                        # wire-codec upload (lossless, ~2x fewer bytes on
+                        # natural content); decoded u8 lands on device,
+                        # normalization happens on-device downstream
+                        dev = upload_image_u8(data, self._device)
                     else:
                         dev = jax.device_put(
                             normalize_input(data), self._device)
-                cache[key] = dev  # (re-)insert as most recent
-                if len(cache) > self._UPLOAD_CACHE_SLOTS:
-                    cache.pop(next(iter(cache)))
+                with self._upload_lock:
+                    cache.pop(key, None)
+                    cache[key] = dev  # (re-)insert as most recent
+                    if len(cache) > self._UPLOAD_CACHE_SLOTS:
+                        cache.pop(next(iter(cache)))
                 job.set_img(dev)
             except BaseException as e:  # noqa: BLE001
                 job.set_error(e)

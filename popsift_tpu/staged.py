@@ -90,10 +90,9 @@ class StagedExtractor:
         if image.dtype == jnp.uint8:
             image = image.astype(jnp.float32) * (1.0 / 255.0)
         with scope("pyramid"):
-            stacks = ops_pyr.build_pyramid(
+            stacks, dogs = ops_pyr.build_pyramid_and_dogs(
                 image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
                 plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
-            dogs = [ops_pyr.make_dog(s) for s in stacks]
         cands = []
         cand_counts = []
         cand_overflows = []

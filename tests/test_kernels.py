@@ -86,3 +86,45 @@ def test_detect_kernel_interpret():
             got = np.asarray(detect_pallas(
                 jnp.asarray(dog), mode, 1.2, interpret=True))
             np.testing.assert_array_equal(got, want)
+
+
+def test_blur_with_dog_interpret():
+    from popsift_tpu.kernels.blur import sep_blur_fused_with_dog
+    from popsift_tpu.ops import pyramid as ops_pyr
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((48, 256)).astype(np.float32) * 255)
+    taps = np.asarray([0.4, 0.2, 0.08, 0.02], np.float32)
+    out, dog = sep_blur_fused_with_dog(img, taps, 4, interpret=True)
+    want = ops_pyr.blur_1d(img, taps, 4, axis=-1)
+    want = ops_pyr.blur_1d(want, taps, 4, axis=-2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dog), np.asarray(want - img),
+                               atol=1e-4, rtol=1e-6)
+
+
+def test_kernel_interpret_resolution(monkeypatch):
+    """POPSIFT_TPU_DEBUG routes every kernel into interpret mode unless a
+    caller chose explicitly (the PopSift_ERRCHK_AFTER_KERNEL analog)."""
+    from popsift_tpu.kernels import dispatch
+    assert dispatch.kernel_interpret(True) is True
+    assert dispatch.kernel_interpret(False) is False
+    monkeypatch.setattr(dispatch, "_DEBUG", True)
+    assert dispatch.debug_mode() is True
+    assert dispatch.kernel_interpret() is True
+    assert dispatch.kernel_interpret(False) is False
+    monkeypatch.setattr(dispatch, "_DEBUG", False)
+    assert dispatch.kernel_interpret() is False
+
+
+def test_debug_mode_enables_nan_checks():
+    import os
+    import subprocess
+    import sys
+
+    code = ("import popsift_tpu, jax; "
+            "print('nan-check:', jax.config.jax_debug_nans)")
+    env = {**os.environ, "POPSIFT_TPU_DEBUG": "1", "JAX_PLATFORMS": "cpu"}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "nan-check: True" in out.stdout
