@@ -59,6 +59,9 @@ def demo_image(tmp_path_factory, request):
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# each subprocess CLI run jit-compiles a full pipeline from scratch
+slow = pytest.mark.slow
+
 
 def _run_cli(module, args, cwd):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -69,6 +72,7 @@ def _run_cli(module, args, cwd):
         capture_output=True, text=True, cwd=cwd, env=env, timeout=600)
 
 
+@slow
 def test_demo_cli(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.demo", ["-i", demo_image], str(tmp_path))
     assert r.returncode == 0, r.stderr
@@ -80,6 +84,7 @@ def test_demo_cli(demo_image, tmp_path):
     assert len(lines[0].split()) == 133
 
 
+@slow
 def test_demo_cli_flags(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.demo",
                  ["-i", demo_image, "--gauss-mode", "vlfeat",
@@ -89,6 +94,7 @@ def test_demo_cli_flags(demo_image, tmp_path):
     assert not (tmp_path / "output-features.txt").exists()
 
 
+@slow
 def test_demo_cli_print_gauss_tables(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.demo",
                  ["-i", demo_image, "--print-gauss-tables", "--dont-write"],
@@ -97,6 +103,7 @@ def test_demo_cli_print_gauss_tables(demo_image, tmp_path):
     assert "Gauss tables" in r.stdout
 
 
+@slow
 def test_match_cli(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.match",
                  ["-l", demo_image, "-r", demo_image], str(tmp_path))
@@ -105,6 +112,7 @@ def test_match_cli(demo_image, tmp_path):
     assert "accept" in r.stdout
 
 
+@slow
 def test_demo_cli_log_dump(demo_image, tmp_path):
     r = _run_cli("popsift_tpu.cli.demo",
                  ["-i", demo_image, "--log", "--dont-write"], str(tmp_path))

@@ -10,6 +10,8 @@ from popsift_tpu.ops.match import match_brute_force_jit
 from popsift_tpu.parallel.batch import (batched_extractor, make_mesh,
                                         sharded_match, sfm_frontend_step)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

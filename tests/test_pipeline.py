@@ -10,6 +10,8 @@ from popsift_tpu.config import Config, ProcessingMode, ImageMode, NormMode
 from popsift_tpu.extract import get_extractor, normalize_input
 from popsift_tpu.features import assemble_features
 
+pytestmark = pytest.mark.slow
+
 
 def test_extract_finds_blobs(blob_image):
     h, w = blob_image.shape

@@ -8,6 +8,8 @@ import pytest
 import popsift_tpu as ps
 from popsift_tpu.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 def _img(seed, h, w):
     rng = np.random.default_rng(seed)

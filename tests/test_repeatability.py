@@ -8,6 +8,8 @@ from popsift_tpu.extract import get_extractor, normalize_input
 from popsift_tpu.features import assemble_features
 from popsift_tpu.eval.repeatability import evaluate_pair, warp_affine
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene():
