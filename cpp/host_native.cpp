@@ -292,16 +292,17 @@ PyObject* py_rgb_to_grey(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------
-// E4 wire-codec encoder (popsift_tpu/wirecodec.py is the format spec;
-// the XLA decoder lives there).  Nibble stream + escape bytes behind a
-// 16-byte header; returns None when the stream would not beat raw.
+// E2v2 wire-codec encoder (popsift_tpu/wirecodec.py is the format spec;
+// the XLA decoder lives there).  Second-difference residuals, 2-bit or
+// 4-bit code stream + escape bytes behind a 16-byte header; returns
+// None when neither code width would beat raw.
 // ---------------------------------------------------------------------
 
-constexpr uint32_t kE4Magic = 0x50C0DEC4u;
-constexpr int kE4HeaderBytes = 16;
+constexpr uint32_t kE2Magic = 0x50C0DEC2u;
+constexpr int kE2HeaderBytes = 16;
 constexpr uint8_t kE4Esc = 15;
 
-PyObject* py_encode_e4(PyObject*, PyObject* args) {
+PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
     PyObject* in = nullptr;
     long bucket = 128 * 1024;
     if (!PyArg_ParseTuple(args, "O|l", &in, &bucket)) return nullptr;
@@ -317,49 +318,71 @@ PyObject* py_encode_e4(PyObject*, PyObject* args) {
     const int64_t total = h * w;
     const uint8_t* src = static_cast<uint8_t*>(PyArray_DATA(arr));
 
-    std::vector<uint8_t> zig(static_cast<size_t>(total));
+    std::vector<uint8_t> res(static_cast<size_t>(total));
     const int nchunks = 16;
     const int64_t rows_per = (h + nchunks - 1) / nchunks;
-    int64_t esc_count[nchunks];
-    std::memset(esc_count, 0, sizeof(esc_count));
+    int64_t esc2_count[nchunks];
+    int64_t esc4_count[nchunks];
+    std::memset(esc2_count, 0, sizeof(esc2_count));
+    std::memset(esc4_count, 0, sizeof(esc4_count));
 
     Py_BEGIN_ALLOW_THREADS
-    // pass 1: zigzagged row deltas + per-chunk escape counts
+    // pass 1: mod-256 second-difference residuals + per-chunk escape
+    // counts for both code widths (rows are independent given src)
     parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
         for (int64_t c = clo; c < chi; ++c) {
             int64_t y0 = c * rows_per, y1 = y0 + rows_per;
             if (y1 > h) y1 = h;
-            int64_t esc = 0;
+            int64_t e2 = 0, e4 = 0;
             for (int64_t y = y0; y < y1; ++y) {
                 const uint8_t* row = src + y * w;
-                uint8_t* zrow = zig.data() + y * w;
-                uint8_t prev = 0;
+                const uint8_t* up = y ? src + (y - 1) * w : nullptr;
+                uint8_t* rrow = res.data() + y * w;
                 for (int64_t x = 0; x < w; ++x) {
-                    int8_t d = static_cast<int8_t>(row[x] - prev);
-                    prev = row[x];
-                    uint8_t z = static_cast<uint8_t>((d << 1) ^ (d >> 7));
-                    zrow[x] = z;
-                    esc += (z >= kE4Esc);
+                    uint8_t left = x ? row[x - 1] : 0;
+                    uint8_t upv = up ? up[x] : 0;
+                    uint8_t ul = (up && x) ? up[x - 1] : 0;
+                    uint8_t d = static_cast<uint8_t>(
+                        row[x] - left - upv + ul);
+                    rrow[x] = d;
+                    e2 += (d > 1 && d < 255);
+                    int8_t sd = static_cast<int8_t>(d);
+                    uint8_t z = static_cast<uint8_t>(
+                        (sd << 1) ^ (sd >> 7));
+                    e4 += (z >= kE4Esc);
                 }
             }
-            esc_count[c] = esc;
+            esc2_count[c] = e2;
+            esc4_count[c] = e4;
         }
     });
     Py_END_ALLOW_THREADS
 
-    int64_t n_esc = 0;
-    int64_t esc_off[nchunks];
+    int64_t n_esc2 = 0, n_esc4 = 0;
     for (int c = 0; c < nchunks; ++c) {
-        esc_off[c] = n_esc;
-        n_esc += esc_count[c];
+        n_esc2 += esc2_count[c];
+        n_esc4 += esc4_count[c];
     }
-
-    const int64_t nlen = (total + 1) / 2;
-    const int64_t payload = kE4HeaderBytes + nlen + n_esc;
-    if (payload >= total) {
+    const int64_t pay2 = kE2HeaderBytes + (total + 3) / 4 + n_esc2;
+    const int64_t pay4 = kE2HeaderBytes + (total + 1) / 2 + n_esc4;
+    if (pay2 >= total && pay4 >= total) {
         Py_DECREF(arr);
         Py_RETURN_NONE;
     }
+    const int bits = pay2 <= pay4 ? 2 : 4;
+    const int64_t n_esc = bits == 2 ? n_esc2 : n_esc4;
+    const int64_t* esc_count = bits == 2 ? esc2_count : esc4_count;
+    int64_t esc_off[nchunks];
+    {
+        int64_t acc = 0;
+        for (int c = 0; c < nchunks; ++c) {
+            esc_off[c] = acc;
+            acc += esc_count[c];
+        }
+    }
+    const int64_t per_byte = 8 / bits;
+    const int64_t slen = (total + per_byte - 1) / per_byte;
+    const int64_t payload = kE2HeaderBytes + slen + n_esc;
     const int64_t out_len = (payload + bucket - 1) / bucket * bucket;
 
     npy_intp dims[1] = {out_len};
@@ -372,32 +395,64 @@ PyObject* py_encode_e4(PyObject*, PyObject* args) {
     uint8_t* dst = static_cast<uint8_t*>(PyArray_DATA(out));
 
     Py_BEGIN_ALLOW_THREADS
-    uint32_t header[4] = {kE4Magic, static_cast<uint32_t>(n_esc), 0, 0};
-    std::memcpy(dst, header, kE4HeaderBytes);
-    uint8_t* s4 = dst + kE4HeaderBytes;
-    uint8_t* ebase = s4 + nlen;
-    // pass 2: pack nibbles (flat pairs) and write escape bytes; escape
-    // offsets are per-chunk so chunks pack independently — but nibble
-    // pairs straddle chunk boundaries when a chunk covers an odd pixel
-    // count, so nibbles are packed over the flat index space instead.
-    parallel_for(nlen, 1 << 15, [&](int64_t lo, int64_t hi) {
-        for (int64_t i = lo; i < hi; ++i) {
-            uint8_t a = zig[2 * i], b =
-                (2 * i + 1 < total) ? zig[2 * i + 1] : 0;
-            if (a >= kE4Esc) a = kE4Esc;
-            if (b >= kE4Esc) b = kE4Esc;
-            s4[i] = static_cast<uint8_t>(a | (b << 4));
-        }
-    });
+    uint32_t header[4] = {kE2Magic, static_cast<uint32_t>(n_esc),
+                          static_cast<uint32_t>(bits), 0};
+    std::memcpy(dst, header, kE2HeaderBytes);
+    uint8_t* stream = dst + kE2HeaderBytes;
+    uint8_t* ebase = stream + slen;
+    // pass 2a: pack codes over the flat index space (code groups can
+    // straddle row-chunk boundaries, so chunking is over output bytes)
+    if (bits == 2) {
+        parallel_for(slen, 1 << 15, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t b = 0;
+                for (int k = 0; k < 4; ++k) {
+                    int64_t p = 4 * i + k;
+                    uint8_t code = 0;
+                    if (p < total) {
+                        uint8_t d = res[p];
+                        code = d == 0 ? 0 : d == 1 ? 1 : d == 255 ? 2 : 3;
+                    }
+                    b |= static_cast<uint8_t>(code << (2 * k));
+                }
+                stream[i] = b;
+            }
+        });
+    } else {
+        parallel_for(slen, 1 << 15, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t nibs[2] = {0, 0};
+                for (int k = 0; k < 2; ++k) {
+                    int64_t p = 2 * i + k;
+                    if (p < total) {
+                        int8_t sd = static_cast<int8_t>(res[p]);
+                        uint8_t z = static_cast<uint8_t>(
+                            (sd << 1) ^ (sd >> 7));
+                        nibs[k] = z >= kE4Esc ? kE4Esc : z;
+                    }
+                }
+                stream[i] = static_cast<uint8_t>(nibs[0] | (nibs[1] << 4));
+            }
+        });
+    }
+    // pass 2b: escape bytes, per row-chunk with precomputed offsets
     parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
         for (int64_t c = clo; c < chi; ++c) {
             int64_t y0 = c * rows_per, y1 = y0 + rows_per;
             if (y1 > h) y1 = h;
             uint8_t* e = ebase + esc_off[c];
-            const uint8_t* z = zig.data() + y0 * w;
-            const uint8_t* zend = zig.data() + y1 * w;
-            for (; z < zend; ++z) {
-                if (*z >= kE4Esc) *e++ = *z;
+            const uint8_t* r = res.data() + y0 * w;
+            const uint8_t* rend = res.data() + y1 * w;
+            if (bits == 2) {
+                for (; r < rend; ++r) {
+                    if (*r > 1 && *r < 255) *e++ = *r;
+                }
+            } else {
+                for (; r < rend; ++r) {
+                    int8_t sd = static_cast<int8_t>(*r);
+                    uint8_t z = static_cast<uint8_t>((sd << 1) ^ (sd >> 7));
+                    if (z >= kE4Esc) *e++ = *r;
+                }
             }
         }
     });
@@ -414,8 +469,8 @@ PyMethodDef kMethods[] = {
      "normalize_u8(u8 array) -> float32 array / 255"},
     {"rgb_to_grey", py_rgb_to_grey, METH_VARARGS,
      "rgb_to_grey((H,W,3) u8) -> (H,W) u8 via OpenCV coefficients"},
-    {"encode_e4", py_encode_e4, METH_VARARGS,
-     "encode_e4((H,W) u8 [, bucket]) -> wire buffer u8 array or None"},
+    {"encode_e2v2", py_encode_e2v2, METH_VARARGS,
+     "encode_e2v2((H,W) u8 [, bucket]) -> wire buffer u8 array or None"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -1,32 +1,40 @@
 """Lossless image wire codec: host-side encode, on-device XLA decode.
 
 The TPU in this deployment is network-attached: the PJRT transport moves
-~30 MB/s, so a 1080p u8 frame costs ~70 ms of wire — more than the whole
-device-side extraction.  The reference never needed this because PCIe
-upload is effectively free next to its kernels (s_image.cu:69-77); here
-the upload byte count is a first-class performance constraint
-(docs/DESIGN.md "the host wire").
+~25-35 MB/s in its slow states, so a 1080p u8 frame costs ~60-90 ms of
+wire — more than the whole device-side extraction.  The reference never
+needed this because PCIe upload is effectively free next to its kernels
+(s_image.cu:69-77); here the upload byte count is a first-class
+performance constraint (docs/DESIGN.md "the host wire").
 
-Scheme ("E4" — lossless, fixed-rate + escapes, XLA-decodable without any
-variable-length bitstream parsing on device):
+Scheme ("E2v2" — lossless, fixed-rate + escapes, XLA-decodable without
+any variable-length bitstream parsing on device):
 
-* pixels are coded in scan order as zigzagged successive differences
-  along each row; the first pixel of a row is its difference from 0,
-* every pixel gets a 4-bit nibble: zigzag values 0..14 inline; 15 means
-  "escape" and the full zigzagged delta byte is appended to an escape
-  stream (so escapes refine the SAME prediction chain — decode stays a
-  plain modular cumulative sum, no per-escape resets),
-* wire layout: 16-byte header | nibble stream (h*w/2 bytes) | escape
-  bytes | zero pad to a 128 KiB bucket boundary.
+* the prediction residual is the mod-256 SECOND difference
+  d2[y,x] = img[y,x] - img[y,x-1] - img[y-1,x] + img[y-1,x-1]
+  (first row/column fall out of the same formula with zeros outside).
+  Inverting it is two modular cumulative sums — cumsum along x restores
+  the vertical delta, cumsum along y restores the image — i.e. the
+  decoder stays fully data-parallel, unlike a clamped LOCO/Paeth
+  predictor whose row-sequential dependency cannot be vectorised.
+  On smooth/natural content d2 concentrates ~98% of mass in {-1, 0, +1}
+  (~1.1 bits entropy) vs ~2.6 bits for the row delta.
+* two code widths, chosen per image by whichever yields fewer bytes:
+  - 2-bit: codes {0, +1, -1, escape}; escapes append the raw residual
+    byte to an escape stream (~2.2 bits/px on smooth content = ~3.7x),
+  - 4-bit: zigzagged residuals 0..14 inline, 15 = escape (the round-1
+    "E4" layout, now over d2 residuals — ~2x on mid-entropy content),
+* wire layout: 16-byte header (magic, n_escapes, code bits) | code
+  stream (total*bits/8 bytes) | escape bytes | zero pad to a 128 KiB
+  bucket boundary.
 
-Decode is one jitted XLA program per (h, w, bucketed length): unpack
-nibbles with shifts/masks, distribute escape bytes with one monotone
-gather (rank = cumsum of the escape mask), un-zigzag, then invert the
-prediction with a row-wise mod-256 cumulative sum.  All shapes static.
+Decode is one jitted XLA program per (h, w, bits, bucketed length):
+unpack codes with shifts/masks, distribute escape bytes with one
+monotone gather (rank = cumsum of the escape mask), then invert the
+prediction with two mod-256 cumulative sums.  All shapes static.
 
-Typical ratios: ~1.8-2x on natural/video-like content (4 bits/pixel
-floor + escape tail); the pipeline skips the codec (raw upload) when the
-encoded stream would not be smaller.
+The pipeline skips the codec (raw upload) when neither code width would
+beat the raw byte count (high-entropy content).
 """
 
 from __future__ import annotations
@@ -38,16 +46,12 @@ import numpy as np
 
 _HEADER_BYTES = 16
 _BUCKET = 128 * 1024
-_MAGIC = 0x50C0DEC4
-_ESC = 15
+_MAGIC = 0x50C0DEC2
+_ESC4 = 15
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _nibble_len(total: int) -> int:
-    return _ceil_to(total, 2) // 2
 
 
 try:
@@ -56,82 +60,118 @@ except ImportError:  # pragma: no cover - extension is optional
     _host_native = None
 
 
+def _residual2(img: np.ndarray) -> np.ndarray:
+    """Mod-256 second difference (uint8 wraparound arithmetic)."""
+    dy = img.copy()
+    dy[1:] -= img[:-1]
+    d2 = dy.copy()
+    d2[:, 1:] -= dy[:, :-1]
+    return d2
+
+
 def encode_u8(img: np.ndarray) -> np.ndarray | None:
     """Encode a (h, w) u8 image into one u8 wire buffer.
 
-    Returns None when the encoded stream would not beat the raw upload
+    Returns None when neither code width would beat the raw upload
     (high-entropy content) — callers should then upload raw.
     """
-    if _host_native is not None and hasattr(_host_native, "encode_e4"):
-        return _host_native.encode_e4(np.ascontiguousarray(img), _BUCKET)
+    if _host_native is not None and hasattr(_host_native, "encode_e2v2"):
+        return _host_native.encode_e2v2(np.ascontiguousarray(img), _BUCKET)
     return _encode_u8_numpy(img)
 
 
 def _encode_u8_numpy(img: np.ndarray) -> np.ndarray | None:
     h, w = img.shape
-    # successive differences along rows; first column differs from 0
-    prev = np.concatenate(
-        [np.zeros((h, 1), np.uint8), img[:, :-1]], axis=1)
-    d = ((img.astype(np.int16) - prev.astype(np.int16)) & 255) \
-        .astype(np.uint8).view(np.int8).astype(np.int16)
-    zig = ((d << 1) ^ (d >> 15)).astype(np.uint8)  # 0..255
-
-    esc = zig >= _ESC
-    nib = np.where(esc, np.uint8(_ESC), zig).reshape(-1)
-    e_bytes = zig[esc]
-
     total = h * w
-    payload = _HEADER_BYTES + _nibble_len(total) + e_bytes.size
-    if payload >= total:
+    d2 = _residual2(img).reshape(-1)
+
+    # choose the code width with the smaller payload
+    esc2_mask = (d2 > 1) & (d2 < 255)
+    n_esc2 = int(esc2_mask.sum())
+    s = d2.view(np.int8).astype(np.int16)
+    zig = ((s << 1) ^ (s >> 15)).astype(np.uint8)
+    esc4_mask = zig >= _ESC4
+    n_esc4 = int(esc4_mask.sum())
+
+    pay2 = _HEADER_BYTES + _ceil_to(total, 4) // 4 + n_esc2
+    pay4 = _HEADER_BYTES + _ceil_to(total, 2) // 2 + n_esc4
+    if min(pay2, pay4) >= total:
         return None
 
-    if total % 2:
-        nib = np.pad(nib, (0, 1))
-    s4 = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+    if pay2 <= pay4:
+        bits, n_esc = 2, n_esc2
+        # codes: 0 -> 0, +1 -> 1, -1 -> 2, escape -> 3
+        codes = np.where(d2 == 0, 0,
+                         np.where(d2 == 1, 1,
+                                  np.where(d2 == 255, 2, 3))) \
+            .astype(np.uint8)
+        e_bytes = d2[esc2_mask]
+        c = np.pad(codes, (0, _ceil_to(total, 4) - total))
+        stream = (c[0::4] | (c[1::4] << 2) | (c[2::4] << 4)
+                  | (c[3::4] << 6)).astype(np.uint8)
+    else:
+        bits, n_esc = 4, n_esc4
+        nib = np.where(esc4_mask, np.uint8(_ESC4), zig)
+        e_bytes = d2[esc4_mask]
+        c = np.pad(nib, (0, _ceil_to(total, 2) - total))
+        stream = (c[0::2] | (c[1::2] << 4)).astype(np.uint8)
 
     header = np.zeros(_HEADER_BYTES // 4, np.uint32)
     header[0] = _MAGIC
-    header[1] = e_bytes.size
-    buf = np.concatenate([header.view(np.uint8), s4, e_bytes])
+    header[1] = n_esc
+    header[2] = bits
+    buf = np.concatenate([header.view(np.uint8), stream, e_bytes])
     out = np.zeros(_ceil_to(buf.size, _BUCKET), np.uint8)
     out[:buf.size] = buf
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "buf_len"))
-def _decode_u8(buf, h: int, w: int, buf_len: int):
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "bits", "buf_len"))
+def _decode_u8(buf, h: int, w: int, bits: int, buf_len: int):
     """Jitted decoder: u8 wire buffer -> (h, w) u8 image."""
     import jax.numpy as jnp
 
     total = h * w
-    nlen = _nibble_len(total)
-    e_off = _HEADER_BYTES + nlen
-    e_cap = max(total // 2, buf_len - e_off)  # escapes can't exceed this
+    per_byte = 8 // bits
+    slen = _ceil_to(total, per_byte) // per_byte
+    e_off = _HEADER_BYTES + slen
+    e_cap = max(total // 2, buf_len - e_off)
 
     # device-side pad so the full-capacity escape slice is in range
     bufp = jnp.pad(buf, (0, max(0, e_off + e_cap - buf_len)))
 
-    s4 = bufp[_HEADER_BYTES:e_off]
-    nib = jnp.stack([s4 & 15, s4 >> 4], axis=-1).reshape(-1)[:total]
-    nib = nib.astype(jnp.int32)
+    stream = bufp[_HEADER_BYTES:e_off]
+    if bits == 2:
+        parts = [(stream >> k) & 3 for k in (0, 2, 4, 6)]
+        codes = jnp.stack(parts, axis=-1).reshape(-1)[:total] \
+            .astype(jnp.int32)
+        esc = codes == 3
+        # inline values: 0 -> 0, 1 -> +1, 2 -> -1 (mod 256: 255)
+        inline = jnp.where(codes == 2, 255, codes)
+    else:
+        parts = [stream & 15, stream >> 4]
+        nib = jnp.stack(parts, axis=-1).reshape(-1)[:total] \
+            .astype(jnp.int32)
+        esc = nib == _ESC4
+        # un-zigzag inline nibbles to a mod-256 residual byte
+        inline = jnp.where(nib & 1, -((nib + 1) >> 1), nib >> 1) & 255
 
-    esc = nib == _ESC
     # distribute escape bytes: rank among escapes in scan order
     eidx = jnp.cumsum(esc.astype(jnp.int32)) - 1
     epool = bufp[e_off:e_off + e_cap].astype(jnp.int32)
     evals = jnp.take(epool, jnp.clip(eidx, 0, e_cap - 1))
 
-    zig = jnp.where(esc, evals, nib)
-    # un-zigzag: even z -> z/2, odd z -> -(z+1)/2
-    dz = jnp.where(zig & 1, -((zig + 1) >> 1), zig >> 1)
-    # invert prediction: row-wise mod-256 cumulative sum
-    img = (jnp.cumsum(dz.reshape(h, w), axis=1) & 255).astype(jnp.uint8)
+    d2 = jnp.where(esc, evals, inline).reshape(h, w)
+    # invert the second-difference prediction: two mod-256 cumsums
+    dy = jnp.cumsum(d2, axis=1) & 255
+    img = (jnp.cumsum(dy, axis=0) & 255).astype(jnp.uint8)
     return img
 
 
-def decode_u8(dev_buf, h: int, w: int):
+def decode_u8(dev_buf, h: int, w: int, bits: int):
     """Decode a device-resident wire buffer to a (h, w) u8 device image."""
-    return _decode_u8(dev_buf, h, w, dev_buf.shape[0])
+    return _decode_u8(dev_buf, h, w, bits, dev_buf.shape[0])
 
 
 def upload_image_u8(img: np.ndarray, device):
@@ -145,5 +185,6 @@ def upload_image_u8(img: np.ndarray, device):
     if buf is None:
         return jax.device_put(img, device)
     h, w = img.shape
+    bits = int(buf[:_HEADER_BYTES].view(np.uint32)[2])
     dev_buf = jax.device_put(buf, device)
-    return decode_u8(dev_buf, h, w)
+    return decode_u8(dev_buf, h, w, bits)

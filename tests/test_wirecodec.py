@@ -30,16 +30,18 @@ def test_roundtrip_exact(name, img):
     buf = wc._encode_u8_numpy(img)
     if buf is None:
         return  # raw fallback is always correct
-    dec = np.asarray(wc.decode_u8(buf, *img.shape))
+    bits = int(buf[:16].view(np.uint32)[2])
+    dec = np.asarray(wc.decode_u8(buf, *img.shape, bits))
     np.testing.assert_array_equal(dec, img)
 
 
 @pytest.mark.parametrize("name,img", _images(), ids=lambda v: v
                          if isinstance(v, str) else "")
 def test_native_matches_numpy(name, img):
-    if wc._host_native is None or not hasattr(wc._host_native, "encode_e4"):
+    if wc._host_native is None or not hasattr(wc._host_native,
+                                               "encode_e2v2"):
         pytest.skip("native extension not built")
-    nat = wc._host_native.encode_e4(img, wc._BUCKET)
+    nat = wc._host_native.encode_e2v2(img, wc._BUCKET)
     ref = wc._encode_u8_numpy(img)
     if ref is None:
         assert nat is None
@@ -80,5 +82,21 @@ def test_worst_case_deltas_exact():
     buf = wc._encode_u8_numpy(img)
     if buf is None:
         return
-    dec = np.asarray(wc.decode_u8(buf, *img.shape))
+    bits = int(buf[:16].view(np.uint32)[2])
+    dec = np.asarray(wc.decode_u8(buf, *img.shape, bits))
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_four_bit_tier_roundtrip():
+    """Content whose residuals overflow the 2-bit codes but fit nibbles
+    must select the 4-bit tier and stay lossless."""
+    rng = np.random.default_rng(3)
+    d2 = rng.integers(-5, 6, (128, 256)).astype(np.int16) % 256
+    dy = np.cumsum(d2, axis=1) % 256
+    img = (np.cumsum(dy, axis=0) % 256).astype(np.uint8)
+    buf = wc._encode_u8_numpy(img)
+    assert buf is not None
+    bits = int(buf[:16].view(np.uint32)[2])
+    assert bits == 4
+    dec = np.asarray(wc.decode_u8(buf, *img.shape, bits))
     np.testing.assert_array_equal(dec, img)
