@@ -36,7 +36,7 @@ def _tile_dims(h: int, w: int) -> tuple[int, int]:
 
 
 def _kernel(dog_ref, out_ref, slabs, sems, *, levels, R, C, nC, h, w,
-            gate_lo, border):
+            gate_lo, border, packed=False):
     k = pl.program_id(0)
     n = pl.num_programs(0)
     L = levels + 2
@@ -109,7 +109,24 @@ def _kernel(dog_ref, out_ref, slabs, sems, *, levels, R, C, nC, h, w,
                             same_mn)
         mask = ((c > nb_mx) | (c < nb_mn)) \
             & (jnp.abs(c) >= gate_lo) & inb
-        out_ref[z - 1] = mask[8:8 + R, 128:128 + C]
+        if not packed:
+            out_ref[z - 1] = mask[8:8 + R, 128:128 + C]
+        else:
+            # bit-pack along sublanes: word (g, x) carries mask rows
+            # 32g..32g+31 at lane x (weighted u32 sum over the reshaped
+            # 32-row groups; each bit is a distinct power of two so the
+            # sum is exact)
+            # i32 arithmetic (Pallas lacks u32 reductions); the weighted
+            # sum of distinct bit powers is exact mod 2^32 either way
+            m = mask[8:8 + R, 128:128 + C].astype(jnp.int32)
+            m3 = m.reshape(R // 32, 32, C)
+            wts = jnp.left_shift(
+                jnp.int32(1),
+                jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1))
+            words = jnp.sum(m3 * wts, axis=1,
+                            dtype=jnp.int32).view(jnp.uint32)
+            g = R // 32
+            out_ref[0, (z - 1) * g:z * g] = words
 
 
 @functools.partial(jax.jit,
@@ -142,6 +159,85 @@ def _detect_pallas(dogp, levels: int, h: int, w: int, gate_lo: float,
         interpret=interpret,
     )(dogp)
     return out[:, :h, :w]
+
+
+def _tile_dims_packed(h: int, w: int) -> tuple[int, int]:
+    # like _tile_dims but R must be a multiple of 32 (sublane bit-packing)
+    R = 96 if h >= 192 else max(32, -(-h // 32) * 32)
+    C = 512 if w >= 512 else max(128, -(-w // 128) * 128)
+    return R, C
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "h", "w", "gate_lo",
+                                    "border", "interpret"))
+def _detect_packed(dogp, levels: int, h: int, w: int, gate_lo: float,
+                   border: int, interpret: bool = False):
+    L = levels + 2
+    R, C = _tile_dims_packed(h, w)
+    nR = -(-h // R)
+    nC = -(-w // C)
+    kern = functools.partial(_kernel, levels=levels, R=R, C=C, nC=nC,
+                             h=h, w=w, gate_lo=gate_lo, border=border,
+                             packed=True)
+    g = R // 32
+    # u32 out blocks must keep their last two dims (8, 128)-tileable, so
+    # the per-tile words go out as (1, levels*g, C) with the tile-row as
+    # the leading dim; one cheap XLA transpose restores (levels, G, Wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nR * nC,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, levels * g, C),
+                               lambda k: (k // nC, 0, k % nC),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, L, R + 16, C + 256), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nR, levels * g, nC * C),
+                                       jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dogp)
+    return (out.reshape(nR, levels, g, nC * C)
+            .transpose(1, 0, 2, 3)
+            .reshape(levels, nR * g, nC * C))
+
+
+def detect_packed_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
+                         peak_threshold: float,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Fused detection + sublane bit-packing.
+
+    Returns a ``(levels, ceil(h/R)*R/32, ceil(w/C)*C)`` uint32 word volume:
+    ``words[z, g, x]`` bit ``r`` is the candidate mask at image row
+    ``32*g + r``, column ``x`` for searchable DoG layer ``z+1``.  Bits at
+    padded rows/columns (``>= h``/``>= w``) are always zero (the in-bounds
+    gate).  Consumed by :func:`popsift_tpu.ops.extrema.compact_words` —
+    the mask never round-trips HBM as bools.
+    """
+    L, h, w = dog.shape
+    levels = L - 2
+    R, C = _tile_dims_packed(h, w)
+    nR = -(-h // R)
+    nC = -(-w // C)
+    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - h - 8),
+                         (128, nC * C + 256 - w - 128)))
+
+    import math
+    t = float(peak_threshold)
+    if sift_mode == SiftMode.OPENCV:
+        gate_lo, border = math.floor(t), 5
+    elif sift_mode == SiftMode.VLFEAT:
+        gate_lo, border = 0.8 * 2.0 * t, 1
+    else:
+        gate_lo, border = 1.6 * t, 1
+    from .dispatch import kernel_interpret
+    return _detect_packed(dogp, levels, h, w, float(gate_lo), border,
+                          interpret=kernel_interpret(interpret))
 
 
 def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,

@@ -197,6 +197,92 @@ def compact_mask(mask: jnp.ndarray, cap: int):
     return x, y, z, valid, count, overflow
 
 
+def compact_words(words: jnp.ndarray, cap: int):
+    """Compact a sublane-bit-packed candidate volume (from
+    :func:`popsift_tpu.kernels.detect.detect_packed_pallas`) into the same
+    fixed-capacity coordinate buffer as :func:`compact_mask`.
+
+    ``words``: (levels, G, Wp) uint32 — bit r of ``words[z, g, x]`` is the
+    mask at row ``32g + r``, column ``x``.  Global raster (z, y, x) order
+    is restored exactly by sorting true raster keys; only the per-block
+    survivor budget differs from :func:`compact_mask` (16 per 32x32 patch
+    instead of 16 per 1024-pixel x-run — both clamp to `overflow` like
+    s_extrema.cu:549-557, and neither triggers on natural images).
+    """
+    levels, G, Wp = words.shape
+    Hp = G * 32
+    n = levels * Hp * Wp
+    big = jnp.int32(n + 1)
+
+    wflat = words.reshape(-1)
+    total = jnp.sum(jax.lax.population_count(wflat).astype(jnp.int32))
+
+    nwords = levels * G * Wp
+    nb = -(-nwords // 32)
+    if nb * 32 != nwords:
+        wflat = jnp.pad(wflat, (0, nb * 32 - nwords))
+    w2 = wflat.reshape(nb, 32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 32), 1)
+    block_base = jnp.arange(nb, dtype=jnp.int32) * 32
+    gw = jnp.int32(G * Wp)
+    recs = []
+    for _ in range(_PER_BLOCK):
+        nz = w2 != 0
+        widx = jnp.min(jnp.where(nz, lane, 33), axis=1)          # (nb,)
+        sel = lane == widx[:, None]
+        wsel = jnp.max(jnp.where(sel, w2, 0), axis=1)            # u32
+        low = wsel & (~wsel + jnp.uint32(1))
+        pos = jax.lax.population_count(low - jnp.uint32(1)) \
+            .astype(jnp.int32)
+        found = widx < 33
+        gwi = block_base + jnp.minimum(widx, 31)
+        z = gwi // gw
+        rem = gwi - z * gw
+        g = rem // Wp
+        x = rem - g * Wp
+        key = (z * Hp + g * 32 + pos) * Wp + x
+        recs.append(jnp.where(found, key, big))
+        w2 = jnp.where(sel, w2 & ~low[:, None], w2)
+    rec = jnp.stack(recs, axis=1)
+
+    rflat = rec.reshape(-1)
+    rvalid = rflat < big
+    if cap > rflat.shape[0]:
+        rflat = jnp.pad(rflat, (0, cap - rflat.shape[0]),
+                        constant_values=n + 1)
+    buf = jnp.minimum(jax.lax.sort(rflat)[:cap], n - 1)
+
+    count = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), cap)
+    overflow = total - count
+    valid = jnp.arange(cap, dtype=jnp.int32) < count
+
+    z = buf // (Hp * Wp)
+    rem = buf % (Hp * Wp)
+    y = rem // Wp
+    x = rem % Wp
+    one = jnp.int32(1)
+    x = jnp.where(valid, x, one)
+    y = jnp.where(valid, y, one)
+    z = jnp.where(valid, z, jnp.int32(0))
+    return x, y, z, valid, count, overflow
+
+
+def detect_and_compact(dog: jnp.ndarray, sift_mode: SiftMode,
+                       peak_threshold: float, cap: int):
+    """Dense detection + candidate compaction, picking the fused
+    Pallas detect+bitpack path on TPU for large planes (the bool mask
+    never round-trips HBM) and the mask path elsewhere."""
+    h, w = dog.shape[-2], dog.shape[-1]
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and h * w >= 256 * 1024:
+        from ..kernels.detect import detect_packed_pallas
+        words = detect_packed_pallas(dog, sift_mode, peak_threshold)
+        return compact_words(words, cap)
+    mask = detect_candidates(dog, sift_mode, peak_threshold)
+    return compact_mask(mask, cap)
+
+
 def _gather27(dog_padded: jnp.ndarray, n_x, n_y, n_z,
               active=None) -> jnp.ndarray:
     """Batched 3x3x3 window gather around integer coordinates (z, y, x);

@@ -68,23 +68,38 @@ def _upsample2_1d(arr: jnp.ndarray, shift: float, axis: int) -> jnp.ndarray:
 
     dst position x samples source at (x+shift)/2 - 0.5: even outputs at
     k + (shift-1)/2, odd outputs at k + shift/2, i.e. two static blends of
-    the source with its +1 (or -1) shifted copy, interleaved."""
+    the source with its +1 (or -1) shifted copy, interleaved in place.
+    The interleave stays on the native axis (no moveaxis: a transpose of
+    the octave-0 plane is a multi-ms relayout on TPU)."""
+    axis = axis % arr.ndim
     n = arr.shape[axis]
-    arr = jnp.moveaxis(arr, axis, -1)
+
+    def shifted(delta: int) -> jnp.ndarray:
+        # arr shifted by +-1 along axis with clamp addressing
+        idx = [slice(None)] * arr.ndim
+        edge = [slice(None)] * arr.ndim
+        if delta > 0:
+            idx[axis] = slice(1, None)
+            edge[axis] = slice(n - 1, None)
+            return jnp.concatenate([arr[tuple(idx)], arr[tuple(edge)]],
+                                   axis=axis)
+        idx[axis] = slice(None, n - 1)
+        edge[axis] = slice(None, 1)
+        return jnp.concatenate([arr[tuple(edge)], arr[tuple(idx)]],
+                               axis=axis)
 
     def blend(frac: float) -> jnp.ndarray:
         # sample at k + frac with clamp addressing, frac in (-1, 1)
         if frac >= 0.0:
-            nxt = jnp.concatenate([arr[..., 1:], arr[..., -1:]], axis=-1)
-            return arr * (1.0 - frac) + nxt * frac
-        prev = jnp.concatenate([arr[..., :1], arr[..., :-1]], axis=-1)
-        return arr * (1.0 + frac) + prev * (-frac)
+            return arr * (1.0 - frac) + shifted(+1) * frac
+        return arr * (1.0 + frac) + shifted(-1) * (-frac)
 
     even = blend((shift - 1.0) / 2.0)
     odd = blend(shift / 2.0)
-    out = jnp.stack([even, odd], axis=-1).reshape(
-        arr.shape[:-1] + (2 * n,))
-    return jnp.moveaxis(out, -1, axis)
+    out = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(arr.shape)
+    new_shape[axis] = 2 * n
+    return out.reshape(new_shape)
 
 
 def resample_input(image: jnp.ndarray, dst_h: int, dst_w: int,

@@ -13,6 +13,16 @@ scaling model is the SfM front-end batch form:
   best/second-best against its column shard and the global top-2 is
   combined with an all_gather over ICI (a distributed top-k, the analog of
   splitting compute_distance's scan, features.cu:186-228).
+
+Multi-host: these meshes work unchanged across hosts — call
+``jax.distributed.initialize()`` on every host before building the mesh
+and pass ``jax.devices()`` (all hosts' devices).  Lay the ``data`` axis
+across hosts (extraction needs zero collectives, so the DCN carries
+nothing) and keep the ``model`` axis within a host so the matcher's
+all_gather rides ICI.  Uneven batches: :func:`pad_batch` pads the image
+batch to the data-axis size with zero frames and returns the validity
+row; ``sfm_frontend_step`` threads it through so padded frames produce
+no descriptors and no matches.
 """
 
 from __future__ import annotations
@@ -42,6 +52,26 @@ def make_mesh(devices=None, data: int | None = None,
     assert data * model == n, (data, model, n)
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
+
+
+def pad_batch(images: np.ndarray, mesh: Mesh):
+    """Pad a (B, H, W) image batch to a multiple of the data-axis size.
+
+    Returns (padded_images, img_valid) where ``img_valid`` is a (B',) bool
+    vector marking real frames.  The pad frames are zeros (flat images
+    yield zero extrema, but correctness never relies on that —
+    ``sfm_frontend_step`` masks padded frames' descriptors and matches).
+    """
+    d = mesh.shape["data"]
+    b = images.shape[0]
+    bp = -(-b // d) * d
+    valid = np.zeros((bp,), bool)
+    valid[:b] = True
+    if bp != b:
+        images = np.concatenate(
+            [images, np.zeros((bp - b,) + images.shape[1:],
+                              images.dtype)], axis=0)
+    return images, valid
 
 
 def batched_extractor(config: Config, width: int, height: int, mesh: Mesh):
@@ -172,9 +202,11 @@ def sfm_frontend_step(config: Config, width: int, height: int, mesh: Mesh,
 
     match = sharded_match(mesh)
 
-    def step(images):
+    def step(images, img_valid):
         result = extract_fn(images)
         desc, dvalid = pack_desc(result)
+        # padded frames (uneven batch) contribute no descriptors
+        dvalid = dvalid & img_valid[:, None]
         # chained pairwise matching image i -> i+1 (static unroll over B)
         matches = []
         B = desc.shape[0]
@@ -189,7 +221,14 @@ def sfm_frontend_step(config: Config, width: int, height: int, mesh: Mesh,
                                     for od in result["octaves"]]), axis=0)]),
             desc=desc, desc_valid=dvalid, match_counts=counts)
 
-    return jax.jit(step), plan
+    jitted = jax.jit(step)
+
+    def run(images, img_valid=None):
+        if img_valid is None:
+            img_valid = jnp.ones((images.shape[0],), bool)
+        return jitted(images, img_valid)
+
+    return run, plan
 
 
 def _round_to(x: int, m: int) -> int:

@@ -23,11 +23,52 @@ asymmetry as a bug worth fixing).
 from __future__ import annotations
 
 import enum
+import os
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import numpy as np
+
+# POPSIFT_TPU_HOSTTRACE=1: record per-job host-pipeline timestamps and
+# print a stage summary at uninit (the NVTX-range analog for the host
+# threads; device-side tracing lives in popsift_tpu.tracing).
+_HOSTTRACE = os.environ.get("POPSIFT_TPU_HOSTTRACE", "") not in ("", "0")
+_trace_events: list = []
+
+
+def _tr(tag: str, key, **kw) -> None:
+    if _HOSTTRACE:
+        _trace_events.append((time.time(), tag, key, kw))
+
+
+def _trace_summary() -> None:  # pragma: no cover - diagnostic only
+    if not _HOSTTRACE or not _trace_events:
+        return
+    import collections
+    ev = sorted(_trace_events)
+    _trace_events.clear()
+    spans = collections.defaultdict(list)
+    open_at = {}
+    for t, tag, key, kw in ev:
+        if tag.endswith(".start"):
+            open_at[(tag[:-6], key)] = t
+        elif tag.endswith(".end"):
+            t0 = open_at.pop((tag[:-4], key), None)
+            if t0 is not None:
+                spans[tag[:-4]].append((t - t0) * 1e3)
+        if kw:
+            spans.setdefault(f"#{tag}", []).append(
+                next(iter(kw.values())))
+    import sys
+    print("# host trace:", file=sys.stderr)
+    for name in sorted(spans):
+        v = np.asarray(spans[name], dtype=np.float64)
+        print(f"#   {name:22s} n={v.size:4d} mean={v.mean():8.2f} "
+              f"p50={np.percentile(v, 50):8.2f} "
+              f"p95={np.percentile(v, 95):8.2f} sum={v.sum():9.1f}",
+              file=sys.stderr)
 
 from .config import Config, ImageMode, LogMode, ProcessingMode
 from .extract import get_extractor, normalize_input
@@ -191,6 +232,7 @@ class PopSift:
             self._queue_download.put(None)
         for t in self._threads_download:
             t.join()
+        _trace_summary()
         self._isInit = False
 
     def __del__(self) -> None:
@@ -260,6 +302,7 @@ class PopSift:
         # snapshot: configure() swaps self._config for a fresh clone, so
         # in-flight jobs keep extracting with their enqueue-time object
         job = SiftJob(w, h, arr, config=self._config)
+        _tr("job.start", id(job))
         self._queue_stage1.put(job)
         return job
 
@@ -301,6 +344,7 @@ class PopSift:
                         self._queue_stage2.put(None)
                 return
             self._pool.acquire()  # backpressure: bounded staged images
+            _tr("upload.start", id(job))
             try:
                 data = job._image_data
                 digest = hashlib.blake2b(
@@ -325,6 +369,7 @@ class PopSift:
                 job.set_img(dev)
             except BaseException as e:  # noqa: BLE001
                 job.set_error(e)
+            _tr("upload.end", id(job))
             self._queue_stage2.put(job)
 
     def _run_extraction(self, job: SiftJob, want_dev: bool = False):
@@ -404,8 +449,10 @@ class PopSift:
                         break
             if len(batch) == ex.BATCH:
                 try:
+                    _tr("dispatch_batch.start", id(batch[0]))
                     pending = ex.extract_dispatch_batch(
                         [j.get_img() for j in batch])
+                    _tr("dispatch_batch.end", id(batch[0]))
                 except BaseException as e:  # noqa: BLE001
                     pending = None
                     for j in batch:
@@ -443,8 +490,17 @@ class PopSift:
                     break
                 batch.append(nxt)
             try:
+                _tr("fetch.start", id(batch[0]))
                 flats = jax.device_get(
                     [p[3][1]["flat"] for p in batch])
+                _tr("fetch.end", id(batch[0]),
+                    )
+                _tr("fetch_imgs", id(batch[0]),
+                    n=sum(1 if p[0] == "single" else len(p[1])
+                          for p in batch))
+                _tr("fetch_bytes", id(batch[0]),
+                    b=sum(f.nbytes if hasattr(f, "nbytes")
+                          else sum(x.nbytes for x in f) for f in flats))
             except BaseException as e:  # noqa: BLE001
                 for entry in batch:
                     jobs = [entry[1]] if entry[0] == "single" else entry[1]
@@ -474,6 +530,7 @@ class PopSift:
         if job._config.log_mode == LogMode.ALL:
             from .debugdump import dump_all
             dump_all(job._config, job, "pyramid")
+        _tr("job.end", id(job))
         job.set_features(feats)
 
     def _match_prepare_loop(self) -> None:

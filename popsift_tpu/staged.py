@@ -98,10 +98,10 @@ class StagedExtractor:
         cand_overflows = []
         with scope("detect"):
             for o in range(plan.octaves):
-                mask = ops_ext.detect_candidates(
-                    dogs[o], plan.sift_mode, plan.peak_threshold)
                 cx, cy, cz, cvalid, ccount, coverflow = \
-                    ops_ext.compact_mask(mask, plan.cand_caps[o])
+                    ops_ext.detect_and_compact(
+                        dogs[o], plan.sift_mode, plan.peak_threshold,
+                        plan.cand_caps[o])
                 cands.append((cx, cy, cz, cvalid))
                 cand_counts.append(ccount)
                 cand_overflows.append(coverflow)

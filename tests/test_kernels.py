@@ -88,6 +88,43 @@ def test_detect_kernel_interpret():
             np.testing.assert_array_equal(got, want)
 
 
+def test_detect_packed_kernel_interpret():
+    """Fused detect+bitpack: unpacked words == the dense mask, and
+    compact_words == compact_mask (coordinates, counts, overflow)."""
+    from popsift_tpu.config import SiftMode
+    from popsift_tpu.kernels.detect import detect_packed_pallas
+    from popsift_tpu.ops.extrema import (compact_mask, compact_words,
+                                         detect_candidates)
+
+    rng = np.random.default_rng(11)
+    for (h, w) in ((64, 144), (136, 600)):
+        # sparse impulses on a smooth floor: realistic extrema density so
+        # neither path's per-block survivor budget binds
+        dog = rng.normal(0.0, 0.05, (5, h, w)).astype(np.float32)
+        n_imp = h * w // 500
+        zz = rng.integers(0, 5, n_imp)
+        yy = rng.integers(1, h - 1, n_imp)
+        xx = rng.integers(1, w - 1, n_imp)
+        dog[zz, yy, xx] += (np.sign(rng.normal(size=n_imp))
+                            * rng.uniform(4, 40, n_imp)).astype(np.float32)
+        for mode in (SiftMode.POPSIFT, SiftMode.VLFEAT, SiftMode.OPENCV):
+            mask = np.asarray(detect_candidates(jnp.asarray(dog), mode, 1.2))
+            words = np.asarray(detect_packed_pallas(
+                jnp.asarray(dog), mode, 1.2, interpret=True))
+            levels, G, Wp = words.shape
+            bits = ((words[:, :, None, :]
+                     >> np.arange(32)[None, None, :, None]) & 1)
+            unpacked = bits.astype(bool).reshape(levels, G * 32, Wp)
+            np.testing.assert_array_equal(unpacked[:, :h, :w], mask)
+            assert not unpacked[:, h:, :].any()
+            assert not unpacked[:, :, w:].any()
+            a = compact_mask(jnp.asarray(mask), 2048)
+            b = compact_words(jnp.asarray(words), 2048)
+            for va, vb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(va),
+                                              np.asarray(vb))
+
+
 def test_blur_with_dog_interpret():
     from popsift_tpu.kernels.blur import sep_blur_fused_with_dog
     from popsift_tpu.ops import pyramid as ops_pyr

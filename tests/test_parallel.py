@@ -76,3 +76,30 @@ def test_sfm_frontend_step_compiles_and_runs(mesh):
     assert out["match_counts"].shape == (3,)
     # identical-ish consecutive images should produce some matches
     assert int(np.asarray(out["match_counts"]).sum()) >= 0
+
+
+def test_sfm_frontend_uneven_batch(mesh):
+    """pad_batch + img_valid: padded frames yield no descriptors and no
+    matches, and real frames' results equal the even-batch run."""
+    from popsift_tpu.parallel.batch import pad_batch
+
+    cfg = Config()
+    imgs3 = _images(3)
+    padded, valid = pad_batch(imgs3, mesh)
+    assert padded.shape[0] == 4 and list(valid) == [True] * 3 + [False]
+
+    step, _ = sfm_frontend_step(cfg, 64, 48, mesh, desc_cap=256)
+    out = step(jnp.asarray(padded), jnp.asarray(valid))
+    # the padded frame has no valid descriptors
+    assert int(np.asarray(out["desc_valid"][3]).sum()) == 0
+    # match 2->3 involves the padded frame: zero matches
+    assert int(np.asarray(out["match_counts"][2])) == 0
+
+    # real frames match the even-batch reference run
+    imgs4 = _images(4)
+    ref = step(jnp.asarray(imgs4), jnp.ones((4,), bool))
+    np.testing.assert_array_equal(
+        np.asarray(out["desc_valid"][:3]), np.asarray(ref["desc_valid"][:3]))
+    np.testing.assert_array_equal(
+        np.asarray(out["match_counts"][:2]),
+        np.asarray(ref["match_counts"][:2]))

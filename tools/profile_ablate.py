@@ -92,7 +92,18 @@ def main():
     variants = [
         ("full", []),
         ("no-grad", [patched(ops_grad, "padded_gradient_field", no_grad)]),
-        ("no-detect", [patched(ops_ext, "detect_candidates", no_det)]),
+        ("no-detect", [patched(ops_ext, "detect_candidates", no_det),
+                       patched(ops_ext, "detect_and_compact",
+                               lambda dog, m, t, cap: (
+                                   lambda n: (
+                                       jnp.where(jnp.arange(cap) < n, 1, 1),
+                                       jnp.where(jnp.arange(cap) < n, 1, 1),
+                                       jnp.zeros((cap,), jnp.int32),
+                                       jnp.arange(cap) < n,
+                                       n, jnp.int32(0)))(
+                                   jnp.minimum(jnp.sum(
+                                       (jnp.abs(dog[..., ::64]) > t)
+                                       .astype(jnp.int32)), cap)))]),
         ("no-refine", [patched(ops_ext, "refine_extrema_multi", no_ref)]),
         ("no-orient", [patched(ops_ori, "assign_orientations", no_ori)]),
         ("no-desc", [patched(ext_mod, "_dispatch_descriptors", no_desc)]),

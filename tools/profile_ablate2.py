@@ -61,17 +61,26 @@ def main():
     def no_dog(stack):
         return stack[1:] * 1.0001 - 1e-5
 
-    orig_compact = ops_ext.compact_mask
-
-    def no_compact(mask, cap):
-        # shape-identical dummy: constant coordinates, count from one
-        # cheap global sum
-        n = jnp.minimum(jnp.sum(mask[..., ::8].astype(jnp.int32)),
-                        cap).astype(jnp.int32)
+    def _dummy_cands(n_src, levels, cap):
+        n = jnp.minimum(n_src, cap).astype(jnp.int32)
         idx = jnp.arange(cap, dtype=jnp.int32)
         valid = idx < n
         z = jnp.where(valid, 1, 0)
-        return z, z, z % jnp.int32(mask.shape[0]), valid, n, jnp.int32(0)
+        return z, z, z % jnp.int32(levels), valid, n, jnp.int32(0)
+
+    def no_detcomp(dog, mode, thr, cap):
+        # skip detection AND compaction: count from one cheap strided sum
+        n = jnp.sum((jnp.abs(dog[..., ::64]) > thr).astype(jnp.int32))
+        return _dummy_cands(n, dog.shape[0], cap)
+
+    def no_wordextract(dog, mode, thr, cap):
+        # keep the fused detect+bitpack kernel, skip the word-extraction
+        # passes of compact_words (its popcount total sizes the count)
+        from popsift_tpu.kernels.detect import detect_packed_pallas
+        words = detect_packed_pallas(dog, mode, thr)
+        n = jnp.sum(jax.lax.population_count(
+            words.reshape(-1)).astype(jnp.int32))
+        return _dummy_cands(n, dog.shape[0], cap)
 
     def no_resample(image, dst_h, dst_w, shift):
         y = jnp.linspace(0.0, 1.0, dst_h)[:, None]
@@ -99,7 +108,10 @@ def main():
         ("no-blur", [patched(ops_pyr, "_fused", no_blur_fused),
                      patched(ops_pyr, "blur_1d", no_blur_1d)]),
         ("no-dog", [patched(ops_pyr, "make_dog", no_dog)]),
-        ("no-compact", [patched(ops_ext, "compact_mask", no_compact)]),
+        ("no-detcomp", [patched(ops_ext, "detect_and_compact",
+                                no_detcomp)]),
+        ("no-wordextract", [patched(ops_ext, "detect_and_compact",
+                                    no_wordextract)]),
         ("no-resample", [patched(ops_pyr, "resample_input", no_resample)]),
         ("no-finalize", [patched(StagedExtractor, "_finalize_body",
                                  no_finalize)]),
