@@ -302,10 +302,40 @@ constexpr uint32_t kE2Magic = 0x50C0DEC2u;
 constexpr int kE2HeaderBytes = 16;
 constexpr uint8_t kE4Esc = 15;
 
+// Content digest over the residual plane (bijective with the image given
+// its dims), used to key the pipeline's upload LRU.  Hardware CRC32C per
+// 8-byte word, folded into a 64-bit FNV-1a chain per chunk; chunk hashes
+// are combined in chunk order so the result is thread-schedule-invariant.
+#if defined(__x86_64__)
+__attribute__((target("sse4.2")))
+uint64_t crc_chunk(const uint8_t* p, int64_t n) {
+    uint64_t h = 1469598103934665603ull;
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t v;
+        std::memcpy(&v, p + i, 8);
+        h = (h ^ __builtin_ia32_crc32di(h, v)) * 1099511628211ull;
+    }
+    for (; i < n; ++i) {
+        h = (h ^ p[i]) * 1099511628211ull;
+    }
+    return h;
+}
+#else
+uint64_t crc_chunk(const uint8_t* p, int64_t n) {
+    uint64_t h = 1469598103934665603ull;
+    for (int64_t i = 0; i < n; ++i) h = (h ^ p[i]) * 1099511628211ull;
+    return h;
+}
+#endif
+
 PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
     PyObject* in = nullptr;
     long bucket = 128 * 1024;
-    if (!PyArg_ParseTuple(args, "O|l", &in, &bucket)) return nullptr;
+    int want_digest = 0;
+    if (!PyArg_ParseTuple(args, "O|li", &in, &bucket, &want_digest)) {
+        return nullptr;
+    }
     PyArrayObject* arr = reinterpret_cast<PyArrayObject*>(
         PyArray_FROM_OTF(in, NPY_UINT8, NPY_ARRAY_C_CONTIGUOUS));
     if (!arr) return nullptr;
@@ -323,65 +353,119 @@ PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
     const int64_t rows_per = (h + nchunks - 1) / nchunks;
     int64_t esc2_count[nchunks];
     int64_t esc4_count[nchunks];
+    int64_t nz_count[nchunks];
     std::memset(esc2_count, 0, sizeof(esc2_count));
     std::memset(esc4_count, 0, sizeof(esc4_count));
+    std::memset(nz_count, 0, sizeof(nz_count));
+
+    uint64_t chunk_hash[nchunks];
+    std::memset(chunk_hash, 0, sizeof(chunk_hash));
 
     Py_BEGIN_ALLOW_THREADS
-    // pass 1: mod-256 second-difference residuals + per-chunk escape
-    // counts for both code widths (rows are independent given src)
+    // pass 1: mod-256 second-difference residuals + per-chunk escape /
+    // nonzero counts for all schemes (rows are independent given src).
+    // The residual loop is kept branch-free over x >= 1 and split from
+    // the counting loop so both autovectorize on the 1-core hosts this
+    // runs on (the fused branchy form measured ~4x slower).
     parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
         for (int64_t c = clo; c < chi; ++c) {
             int64_t y0 = c * rows_per, y1 = y0 + rows_per;
             if (y1 > h) y1 = h;
-            int64_t e2 = 0, e4 = 0;
             for (int64_t y = y0; y < y1; ++y) {
-                const uint8_t* row = src + y * w;
-                const uint8_t* up = y ? src + (y - 1) * w : nullptr;
-                uint8_t* rrow = res.data() + y * w;
-                for (int64_t x = 0; x < w; ++x) {
-                    uint8_t left = x ? row[x - 1] : 0;
-                    uint8_t upv = up ? up[x] : 0;
-                    uint8_t ul = (up && x) ? up[x - 1] : 0;
-                    uint8_t d = static_cast<uint8_t>(
-                        row[x] - left - upv + ul);
-                    rrow[x] = d;
-                    e2 += (d > 1 && d < 255);
-                    int8_t sd = static_cast<int8_t>(d);
-                    uint8_t z = static_cast<uint8_t>(
-                        (sd << 1) ^ (sd >> 7));
-                    e4 += (z >= kE4Esc);
+                const uint8_t* __restrict row = src + y * w;
+                const uint8_t* __restrict up =
+                    y ? src + (y - 1) * w : nullptr;
+                uint8_t* __restrict rrow = res.data() + y * w;
+                if (up) {
+                    rrow[0] = static_cast<uint8_t>(row[0] - up[0]);
+                    for (int64_t x = 1; x < w; ++x) {
+                        rrow[x] = static_cast<uint8_t>(
+                            row[x] - row[x - 1] - up[x] + up[x - 1]);
+                    }
+                } else {
+                    rrow[0] = row[0];
+                    for (int64_t x = 1; x < w; ++x) {
+                        rrow[x] = static_cast<uint8_t>(
+                            row[x] - row[x - 1]);
+                    }
                 }
+            }
+            int64_t e2 = 0, e4 = 0, nzc = 0;
+            const uint8_t* __restrict r = res.data() + y0 * w;
+            const int64_t n = (y1 - y0) * w;
+            for (int64_t i = 0; i < n; ++i) {
+                uint8_t d = r[i];
+                // d not in {0, 1, 255}  <=>  (uint8)(d + 1) > 2
+                e2 += static_cast<uint8_t>(d + 1) > 2;
+                nzc += d != 0;
+                int8_t sd = static_cast<int8_t>(d);
+                uint8_t z = static_cast<uint8_t>((sd << 1) ^ (sd >> 7));
+                e4 += z >= kE4Esc;
             }
             esc2_count[c] = e2;
             esc4_count[c] = e4;
+            nz_count[c] = nzc;
+            if (want_digest) chunk_hash[c] = crc_chunk(r, n);
         }
     });
     Py_END_ALLOW_THREADS
 
-    int64_t n_esc2 = 0, n_esc4 = 0;
+    PyObject* digest = nullptr;
+    if (want_digest) {
+        uint64_t hh[2] = {1469598103934665603ull, 14695981039346656037ull};
+        for (int c = 0; c < nchunks; ++c) {
+            hh[0] = (hh[0] ^ chunk_hash[c]) * 1099511628211ull;
+            hh[1] = (hh[1] ^ (chunk_hash[c] + 0x9e3779b97f4a7c15ull))
+                * 1099511628211ull;
+        }
+        hh[0] ^= static_cast<uint64_t>(h) << 32 ^ static_cast<uint64_t>(w);
+        digest = PyBytes_FromStringAndSize(
+            reinterpret_cast<const char*>(hh), 16);
+        if (!digest) {
+            Py_DECREF(arr);
+            return nullptr;
+        }
+    }
+
+    int64_t n_esc2 = 0, n_esc4 = 0, n_nz = 0;
     for (int c = 0; c < nchunks; ++c) {
         n_esc2 += esc2_count[c];
         n_esc4 += esc4_count[c];
+        n_nz += nz_count[c];
     }
+    const int64_t nz1 = n_nz > 0 ? n_nz : 1;
     const int64_t pay2 = kE2HeaderBytes + (total + 3) / 4 + n_esc2;
     const int64_t pay4 = kE2HeaderBytes + (total + 1) / 2 + n_esc4;
-    if (pay2 >= total && pay4 >= total) {
+    const int64_t pay3 = kE2HeaderBytes + (total + 7) / 8
+        + (nz1 + 3) / 4 + n_esc2;
+    if (pay2 >= total && pay4 >= total && pay3 >= total) {
         Py_DECREF(arr);
+        if (digest) {
+            PyObject* t = PyTuple_Pack(2, Py_None, digest);
+            Py_DECREF(digest);
+            return t;
+        }
         Py_RETURN_NONE;
     }
-    const int bits = pay2 <= pay4 ? 2 : 4;
-    const int64_t n_esc = bits == 2 ? n_esc2 : n_esc4;
-    const int64_t* esc_count = bits == 2 ? esc2_count : esc4_count;
+    // scheme ids match wirecodec.py: 1 = bitmap+2bit, 2 = 2-bit, 4 = 4-bit
+    const int bits = (pay3 <= pay2 && pay3 <= pay4) ? 1
+                     : (pay2 <= pay4 ? 2 : 4);
+    const int64_t n_esc = bits == 4 ? n_esc4 : n_esc2;
+    const int64_t* esc_count = bits == 4 ? esc4_count : esc2_count;
     int64_t esc_off[nchunks];
+    int64_t nz_off[nchunks];
     {
-        int64_t acc = 0;
+        int64_t acc = 0, nacc = 0;
         for (int c = 0; c < nchunks; ++c) {
             esc_off[c] = acc;
             acc += esc_count[c];
+            nz_off[c] = nacc;
+            nacc += nz_count[c];
         }
     }
-    const int64_t per_byte = 8 / bits;
-    const int64_t slen = (total + per_byte - 1) / per_byte;
+    const int64_t bm_len = (total + 7) / 8;
+    const int64_t slen = bits == 1 ? bm_len + (nz1 + 3) / 4
+                         : (total + (8 / bits) - 1) / (8 / bits);
     const int64_t payload = kE2HeaderBytes + slen + n_esc;
     const int64_t out_len = (payload + bucket - 1) / bucket * bucket;
 
@@ -390,6 +474,7 @@ PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
         PyArray_ZEROS(1, dims, NPY_UINT8, 0));
     if (!out) {
         Py_DECREF(arr);
+        Py_XDECREF(digest);
         return nullptr;
     }
     uint8_t* dst = static_cast<uint8_t*>(PyArray_DATA(out));
@@ -402,7 +487,70 @@ PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
     uint8_t* ebase = stream + slen;
     // pass 2a: pack codes over the flat index space (code groups can
     // straddle row-chunk boundaries, so chunking is over output bytes)
-    if (bits == 2) {
+    if (bits == 1) {
+        // E2v3: nonzero bitmap (LSB-first), then 2-bit codes for the
+        // nonzeros in flat order.  Pixel-chunk boundaries straddle both
+        // bitmap bytes and code bytes, so first compact the nonzero
+        // codes per row-chunk (independent via nz_off), then pack the
+        // two fixed-size streams byte-parallel.
+        // +1 slack: the branchless compaction stores one byte past the
+        // last accepted slot when trailing residuals are zero
+        std::vector<uint8_t> cvals(static_cast<size_t>(nz1) + 1, 0);
+        parallel_for(nchunks, 1, [&](int64_t clo, int64_t chi) {
+            for (int64_t c = clo; c < chi; ++c) {
+                int64_t y0 = c * rows_per, y1 = y0 + rows_per;
+                if (y1 > h) y1 = h;
+                uint8_t* cv = cvals.data() + nz_off[c];
+                const uint8_t* r = res.data() + y0 * w;
+                const uint8_t* rend = res.data() + y1 * w;
+                // branchless compaction: unconditional store + masked
+                // advance (a data-dependent branch here mispredicts on
+                // ~20%-nonzero natural content and costs more than all
+                // the arithmetic passes combined)
+                for (; r < rend; ++r) {
+                    uint8_t d = *r;
+                    *cv = d == 1 ? 1 : d == 255 ? 2 : 3;
+                    cv += d != 0;
+                }
+            }
+        });
+        parallel_for(bm_len, 1 << 15, [&](int64_t lo, int64_t hi) {
+            const int64_t full = total / 8;
+            const int64_t fhi = hi < full ? hi : full;
+            for (int64_t i = lo; i < fhi; ++i) {
+                const uint8_t* __restrict p = res.data() + 8 * i;
+                uint8_t b = 0;
+                for (int k = 0; k < 8; ++k) {
+                    b |= static_cast<uint8_t>((p[k] != 0) << k);
+                }
+                stream[i] = b;
+            }
+            for (int64_t i = fhi < lo ? lo : fhi; i < hi; ++i) {
+                uint8_t b = 0;
+                for (int k = 0; k < 8; ++k) {
+                    int64_t p = 8 * i + k;
+                    if (p < total && res[p] != 0) {
+                        b |= static_cast<uint8_t>(1u << k);
+                    }
+                }
+                stream[i] = b;
+            }
+        });
+        uint8_t* cstream = stream + bm_len;
+        const int64_t cs_len = (nz1 + 3) / 4;
+        parallel_for(cs_len, 1 << 15, [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                uint8_t b = 0;
+                for (int k = 0; k < 4; ++k) {
+                    int64_t p = 4 * i + k;
+                    if (p < n_nz) {
+                        b |= static_cast<uint8_t>(cvals[p] << (2 * k));
+                    }
+                }
+                cstream[i] = b;
+            }
+        });
+    } else if (bits == 2) {
         parallel_for(slen, 1 << 15, [&](int64_t lo, int64_t hi) {
             for (int64_t i = lo; i < hi; ++i) {
                 uint8_t b = 0;
@@ -443,9 +591,10 @@ PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
             uint8_t* e = ebase + esc_off[c];
             const uint8_t* r = res.data() + y0 * w;
             const uint8_t* rend = res.data() + y1 * w;
-            if (bits == 2) {
+            if (bits != 4) {  // schemes 1 and 2 share the escape set
+                // escapes are rare (~2%) so the branch predicts well
                 for (; r < rend; ++r) {
-                    if (*r > 1 && *r < 255) *e++ = *r;
+                    if (static_cast<uint8_t>(*r + 1) > 2) *e++ = *r;
                 }
             } else {
                 for (; r < rend; ++r) {
@@ -459,6 +608,13 @@ PyObject* py_encode_e2v2(PyObject*, PyObject* args) {
     Py_END_ALLOW_THREADS
 
     Py_DECREF(arr);
+    if (digest) {
+        PyObject* t = PyTuple_Pack(
+            2, reinterpret_cast<PyObject*>(out), digest);
+        Py_DECREF(out);
+        Py_DECREF(digest);
+        return t;
+    }
     return reinterpret_cast<PyObject*>(out);
 }
 
@@ -470,7 +626,8 @@ PyMethodDef kMethods[] = {
     {"rgb_to_grey", py_rgb_to_grey, METH_VARARGS,
      "rgb_to_grey((H,W,3) u8) -> (H,W) u8 via OpenCV coefficients"},
     {"encode_e2v2", py_encode_e2v2, METH_VARARGS,
-     "encode_e2v2((H,W) u8 [, bucket]) -> wire buffer u8 array or None"},
+     "encode_e2v2((H,W) u8 [, bucket [, want_digest]]) -> wire buffer u8 "
+     "array or None; with want_digest, (buffer_or_None, 16-byte digest)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -331,7 +331,7 @@ class PopSift:
 
         import jax
 
-        from .wirecodec import upload_image_u8
+        from .wirecodec import decode_u8, encode_u8_digest
         cache = self._upload_cache
         while True:
             job = self._queue_stage1.get()
@@ -347,17 +347,27 @@ class PopSift:
             _tr("upload.start", id(job))
             try:
                 data = job._image_data
-                digest = hashlib.blake2b(
-                    data.tobytes(), digest_size=16).digest()
+                buf = None
+                if data.dtype == np.uint8 and data.size >= 64 * 1024:
+                    # wire-codec upload (lossless, ~4-5x fewer bytes on
+                    # natural content); the encoder's residual pass also
+                    # yields the content digest, replacing a separate
+                    # full-image hash on the 1-core host
+                    buf, digest = encode_u8_digest(data)
+                else:
+                    digest = hashlib.blake2b(
+                        data.tobytes(), digest_size=16).digest()
                 key = (digest, data.shape, str(data.dtype))
                 with self._upload_lock:
                     dev = cache.get(key)
                 if dev is None:
-                    if data.dtype == np.uint8:
-                        # wire-codec upload (lossless, ~2x fewer bytes on
-                        # natural content); decoded u8 lands on device,
-                        # normalization happens on-device downstream
-                        dev = upload_image_u8(data, self._device)
+                    if buf is not None:
+                        bits = int(buf[:16].view(np.uint32)[2])
+                        dev_buf = jax.device_put(buf, self._device)
+                        dev = decode_u8(dev_buf, data.shape[0],
+                                        data.shape[1], bits)
+                    elif data.dtype == np.uint8:
+                        dev = jax.device_put(data, self._device)
                     else:
                         dev = jax.device_put(
                             normalize_input(data), self._device)

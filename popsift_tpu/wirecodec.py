@@ -19,14 +19,18 @@ any variable-length bitstream parsing on device):
   predictor whose row-sequential dependency cannot be vectorised.
   On smooth/natural content d2 concentrates ~98% of mass in {-1, 0, +1}
   (~1.1 bits entropy) vs ~2.6 bits for the row delta.
-* two code widths, chosen per image by whichever yields fewer bytes:
-  - 2-bit: codes {0, +1, -1, escape}; escapes append the raw residual
-    byte to an escape stream (~2.2 bits/px on smooth content = ~3.7x),
-  - 4-bit: zigzagged residuals 0..14 inline, 15 = escape (the round-1
-    "E4" layout, now over d2 residuals — ~2x on mid-entropy content),
-* wire layout: 16-byte header (magic, n_escapes, code bits) | code
-  stream (total*bits/8 bytes) | escape bytes | zero pad to a 128 KiB
-  bucket boundary.
+* three schemes, chosen per image by whichever yields fewer bytes:
+  - 2-bit ("bits"=2): codes {0, +1, -1, escape}; escapes append the raw
+    residual byte to an escape stream (~2.2 bits/px on smooth content),
+  - 4-bit ("bits"=4): zigzagged residuals 0..14 inline, 15 = escape (the
+    round-1 "E4" layout, now over d2 residuals),
+  - bitmap+2-bit ("bits"=1, "E2v3"): a 1-bit nonzero bitmap (LSB-first
+    within each byte) followed by 2-bit codes {+1, -1, escape} for the
+    nonzero residuals only — ~1.6 bits/px on smooth content (~5x),
+    since ~78% of d2 residuals are exactly zero and pay 1 bit not 2,
+* wire layout: 16-byte header (magic, n_escapes, scheme id) | scheme
+  payload (code stream, or bitmap + nonzero code stream) | escape
+  bytes | zero pad to a 128 KiB bucket boundary.
 
 Decode is one jitted XLA program per (h, w, bits, bucketed length):
 unpack codes with shifts/masks, distribute escape bytes with one
@@ -80,25 +84,55 @@ def encode_u8(img: np.ndarray) -> np.ndarray | None:
     return _encode_u8_numpy(img)
 
 
+def encode_u8_digest(img: np.ndarray) -> tuple[np.ndarray | None, bytes]:
+    """Like :func:`encode_u8` but also returns a 16-byte content digest
+    (computed in the encoder's residual pass — one CRC32C-accelerated
+    sweep instead of a separate full-image hash; the pipeline's upload
+    LRU is the consumer).  Digests are process-stable, not portable."""
+    if _host_native is not None and hasattr(_host_native, "encode_e2v2"):
+        return _host_native.encode_e2v2(
+            np.ascontiguousarray(img), _BUCKET, 1)
+    import hashlib
+    buf = _encode_u8_numpy(img)
+    return buf, hashlib.blake2b(img.tobytes(), digest_size=16).digest()
+
+
 def _encode_u8_numpy(img: np.ndarray) -> np.ndarray | None:
     h, w = img.shape
     total = h * w
     d2 = _residual2(img).reshape(-1)
 
-    # choose the code width with the smaller payload
+    # choose the scheme with the smaller payload
     esc2_mask = (d2 > 1) & (d2 < 255)
     n_esc2 = int(esc2_mask.sum())
     s = d2.view(np.int8).astype(np.int16)
     zig = ((s << 1) ^ (s >> 15)).astype(np.uint8)
     esc4_mask = zig >= _ESC4
     n_esc4 = int(esc4_mask.sum())
+    nz_mask = d2 != 0
+    n_nz = int(nz_mask.sum())
 
     pay2 = _HEADER_BYTES + _ceil_to(total, 4) // 4 + n_esc2
     pay4 = _HEADER_BYTES + _ceil_to(total, 2) // 2 + n_esc4
-    if min(pay2, pay4) >= total:
+    pay3 = (_HEADER_BYTES + _ceil_to(total, 8) // 8
+            + _ceil_to(max(n_nz, 1), 4) // 4 + n_esc2)
+    if min(pay2, pay4, pay3) >= total:
         return None
 
-    if pay2 <= pay4:
+    if pay3 <= min(pay2, pay4):
+        bits, n_esc = 1, n_esc2
+        bm = np.packbits(nz_mask.view(np.uint8), bitorder="little")
+        dnz = d2[nz_mask]
+        # nonzero codes: +1 -> 1, -1 -> 2, escape -> 3 (code 0 unused)
+        cnz = np.where(dnz == 1, 1,
+                       np.where(dnz == 255, 2, 3)).astype(np.uint8)
+        e_bytes = d2[esc2_mask]
+        c = np.pad(cnz, (0, _ceil_to(max(n_nz, 1), 4) - n_nz))
+        stream = np.concatenate([
+            bm,
+            (c[0::4] | (c[1::4] << 2) | (c[2::4] << 4)
+             | (c[3::4] << 6)).astype(np.uint8)])
+    elif pay2 <= pay4:
         bits, n_esc = 2, n_esc2
         # codes: 0 -> 0, +1 -> 1, -1 -> 2, escape -> 3
         codes = np.where(d2 == 0, 0,
@@ -133,6 +167,34 @@ def _decode_u8(buf, h: int, w: int, bits: int, buf_len: int):
     import jax.numpy as jnp
 
     total = h * w
+
+    if bits == 1:
+        # E2v3: nonzero bitmap + 2-bit codes for nonzeros + escapes.
+        # The code-stream length depends on the (traced) nonzero count,
+        # so escape positions are gathered at traced offsets directly.
+        bm_len = _ceil_to(total, 8) // 8
+        code_off = _HEADER_BYTES + bm_len
+        bm = buf[_HEADER_BYTES:code_off]
+        b8 = jnp.stack([(bm >> k) & 1 for k in range(8)],
+                       axis=-1).reshape(-1)[:total].astype(jnp.int32)
+        csum = jnp.cumsum(b8)
+        r = csum - 1                      # rank among nonzeros
+        nz = csum[-1]
+        cidx = code_off + (r >> 2)
+        cbyte = jnp.take(buf, jnp.clip(cidx, 0, buf_len - 1)) \
+            .astype(jnp.int32)
+        code = (cbyte >> (2 * (r & 3))) & 3
+        inline = jnp.where(code == 2, 255, code)   # +1 -> 1, -1 -> 255
+        esc = (b8 == 1) & (code == 3)
+        er = jnp.cumsum(esc.astype(jnp.int32)) - 1
+        e_off = code_off + (nz + 3) // 4
+        evals = jnp.take(buf, jnp.clip(e_off + er, 0, buf_len - 1)) \
+            .astype(jnp.int32)
+        d2 = jnp.where(b8 == 0, 0, jnp.where(esc, evals, inline)) \
+            .reshape(h, w)
+        dy = jnp.cumsum(d2, axis=1) & 255
+        return (jnp.cumsum(dy, axis=0) & 255).astype(jnp.uint8)
+
     per_byte = 8 // bits
     slen = _ceil_to(total, per_byte) // per_byte
     e_off = _HEADER_BYTES + slen

@@ -87,6 +87,43 @@ def test_worst_case_deltas_exact():
     np.testing.assert_array_equal(dec, img)
 
 
+def test_bitmap_tier_selected_and_roundtrip():
+    """Mostly-zero residuals must select the E2v3 bitmap scheme (bits=1)
+    and stay lossless, including escapes."""
+    rng = np.random.default_rng(5)
+    h, w = 192, 320
+    d2 = np.zeros((h, w), np.int16)
+    # ~15% +-1 residuals, ~1% escapes
+    m = rng.random((h, w))
+    d2[m < 0.075] = 1
+    d2[(m >= 0.075) & (m < 0.15)] = -1
+    d2[m > 0.99] = rng.integers(-100, 100)
+    d2 = d2 % 256
+    dy = np.cumsum(d2, axis=1) % 256
+    img = (np.cumsum(dy, axis=0) % 256).astype(np.uint8)
+    buf = wc._encode_u8_numpy(img)
+    assert buf is not None
+    bits = int(buf[:16].view(np.uint32)[2])
+    assert bits == 1
+    dec = np.asarray(wc.decode_u8(buf, h, w, bits))
+    np.testing.assert_array_equal(dec, img)
+    if wc._host_native is not None and hasattr(wc._host_native,
+                                               "encode_e2v2"):
+        nat = wc._host_native.encode_e2v2(img, wc._BUCKET)
+        np.testing.assert_array_equal(nat, buf)
+
+
+def test_bitmap_tier_all_zero_residuals():
+    """A flat image (zero nonzeros) must survive the nz=0 edge of the
+    bitmap scheme whichever scheme wins."""
+    img = np.full((64, 96), 77, np.uint8)
+    buf = wc._encode_u8_numpy(img)
+    assert buf is not None
+    bits = int(buf[:16].view(np.uint32)[2])
+    dec = np.asarray(wc.decode_u8(buf, *img.shape, bits))
+    np.testing.assert_array_equal(dec, img)
+
+
 def test_four_bit_tier_roundtrip():
     """Content whose residuals overflow the 2-bit codes but fit nibbles
     must select the 4-bit tier and stay lossless."""
