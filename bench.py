@@ -44,6 +44,16 @@ def main() -> int:
 
     h, w = 1080, 1920
     config = Config()
+    # u8 descriptor transfer: 8-bit fixed point, within 1 bit of the
+    # reference's integer-rounded --write-as-uchar descriptor output
+    # (roundf on the 2^norm_multi scale, features.cu:316-319); halves
+    # the dominant D2H payload on the network-attached TPU.  Feature
+    # counts and keypoint numerics are unaffected (quantization happens
+    # at transfer, after extraction); full-precision f32/u16 transfer
+    # remains the library default.
+    config.set_desc_transfer("u8")
+    print("# desc_transfer=u8 (8-bit fixed point, ~reference uchar "
+          "output precision)", file=sys.stderr)
 
     # DISTINCT frames for every timed job: a real video/SfM stream never
     # repeats, so the pipeline's content-digest upload cache must not eat

@@ -415,11 +415,16 @@ class StagedExtractor:
         FT, BT = max(ft, 1), max(bt, 1)
         desc_words = BT * {"u16": 64, "u8": 32}.get(
             self.config.desc_transfer, 128)
+        # num_ori (3 bits) and octave (5 bits, MAX_OCTAVES=20) share one
+        # byte per feature slot; idx_ori is NOT transferred — it is the
+        # exclusive cumsum of num_ori, reconstructed host-side in
+        # _decode_flat (equal to the device value for every row with
+        # num_ori > 0; zero-ori rows' idx is never dereferenced)
         sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
                  ("overflows", O), ("totals", 2),
                  ("x", FT), ("y", FT), ("sigma", FT),
                  ("orientation", 4 * FT),
-                 ("num_ori", FT), ("idx_ori", FT), ("octave", FT),
+                 ("no_oct", -(-FT // 4)),
                  ("desc", desc_words)]
         off, layout = 0, {}
         for name, n in sizes:
@@ -456,13 +461,17 @@ class StagedExtractor:
         p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
         dev_desc = self._dequantize_descs_dev(p["desc"])
         u = self._as_u32
+        no_oct = (p["num_ori"] | (p["octave"] << 3)).astype(jnp.uint8)
+        pad4 = -(-no_oct.shape[0] // 4) * 4 - no_oct.shape[0]
+        if pad4:
+            no_oct = jnp.pad(no_oct, (0, pad4))
         flat = jnp.concatenate([
             u(s1["cand_counts"]), u(counts), u(ori_counts),
             u(overflows),
             u(jnp.stack([p["ext_total"], p["ori_total"]])),
             u(p["x"]), u(p["y"]), u(p["sigma"]),
             u(p["orientation"]),
-            u(p["num_ori"]), u(p["idx_ori"]), u(p["octave"]),
+            u(no_oct),
             u(p["desc"])])
         return flat, dev_desc
 
@@ -534,6 +543,10 @@ class StagedExtractor:
         desc_dt = {"u16": np.uint16, "u8": np.uint8}.get(
             self.config.desc_transfer, np.float32)
         desc = sl("desc", desc_dt).reshape(BT, 128)
+        no_oct = sl("no_oct", np.uint8)[:FT]
+        num_ori = (no_oct & 7).astype(np.int32)
+        idx_ori = np.zeros(FT, np.int32)
+        np.cumsum(num_ori[:-1], out=idx_ori[1:])
         return dict(
             cand_counts=sl("cand_counts", np.int32),
             counts=sl("counts", np.int32),
@@ -543,9 +556,9 @@ class StagedExtractor:
             x=sl("x", np.float32), y=sl("y", np.float32),
             sigma=sl("sigma", np.float32),
             orientation=sl("orientation", np.float32).reshape(FT, 4),
-            num_ori=sl("num_ori", np.int32),
-            idx_ori=sl("idx_ori", np.int32),
-            octave=sl("octave", np.int32),
+            num_ori=num_ori,
+            idx_ori=idx_ori,
+            octave=(no_oct >> 3).astype(np.int32),
             desc=desc)
 
     def _dequantize_descs_dev(self, d):
