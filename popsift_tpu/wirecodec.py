@@ -49,7 +49,10 @@ import jax
 import numpy as np
 
 _HEADER_BYTES = 16
-_BUCKET = 128 * 1024
+# 64 KiB buckets: the decode jit is keyed on the bucketed length, so the
+# bucket bounds recompiles; at E2v3's ~420 KB 1080p payload the previous
+# 128 KiB bucket wasted ~24% of the upload wire on padding
+_BUCKET = 64 * 1024
 _MAGIC = 0x50C0DEC2
 _ESC4 = 15
 
