@@ -135,6 +135,33 @@ def grad_pad_dims(plan) -> tuple[int, int]:
     return aligned_window_dims(max(plan.ori_win, plan.desc_win))
 
 
+def window_classes(win_max: int, cap: int, fracs: tuple,
+                   chunk: int, min_cap: int = 512):
+    """Static sigma-class window plan: [(win, size)] in descending-window
+    order, sizes summing to ``cap``.
+
+    The static window must cover the worst-case sigma (sn <= levels+2,
+    ops.orientation.max_sigma) but the measured per-slot requirement is
+    far smaller for most extrema (1080p natural scenes: median desc
+    window 64 vs static 112).  Three regions sized by ``fracs`` =
+    (big, mid, small) fractions process sigma-sorted slots at
+    {1.0, ~0.78, ~0.55} x the max window; a slot landing in a region
+    whose window is smaller than its requirement is a *violation* the
+    caller detects and falls back on.  Returns None when ``cap`` is too
+    small for the split to pay (region padding would dominate)."""
+    if cap < min_cap or win_max <= 32:
+        return None
+    w_mid = min(win_max, (int(win_max * 0.78) + 7) // 8 * 8)
+    w_small = min(w_mid, (int(win_max * 0.55) + 7) // 8 * 8)
+    if w_small >= win_max:
+        return None
+    f_big, f_mid, f_small = fracs
+    s_small = int(cap * f_small) // chunk * chunk
+    s_mid = int(cap * f_mid) // chunk * chunk
+    s_big = cap - s_mid - s_small
+    return [(win_max, s_big), (w_mid, s_mid), (w_small, s_small)]
+
+
 def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
                           ex, ey, el, es, ang, ovalid, w, h):
     """Descriptor-mode dispatch (sift_desc.cu:55-110)."""

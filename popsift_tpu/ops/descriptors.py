@@ -185,6 +185,60 @@ def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 
+def desc_required_win(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot loop-mode window each (keypoint, orientation) actually
+    needs: the axis-aligned cover of the rotated 4x4-tile support
+    (|u|_inf < 2.5 in SBP units; same formula as
+    :func:`desc_window_size`, per slot)."""
+    sbp = jnp.abs(DESC_MAGNIFY * sigma)
+    return jnp.ceil(2.0 * 2.5 * math.sqrt(2.0) * sbp) + 4.0
+
+
+def loop_descriptors_classed(both: jnp.ndarray, pad_y: int, pad_x: int,
+                             xpos, ypos, lpos, sigma, ang, valid,
+                             w: int, h: int,
+                             classes: list[tuple[int, int]],
+                             chunk: int = 64):
+    """:func:`loop_descriptors` with sigma-classed window sizes.
+
+    ``classes``: [(win, size), ...] in DESCENDING window order with sizes
+    summing to the slot capacity.  Slots are sorted by required window
+    (descending); slots whose requirement exceeds their region's window
+    are counted in the returned ``violations`` scalar — the caller must
+    then discard the result and re-run the max-window path.  With zero
+    violations the result is EXACTLY the max-window result (the window
+    only carries masked/zero-weight pixels beyond each slot's rotated
+    support).
+
+    Returns (descriptors (cap, 128), violations).
+    """
+    cap = xpos.shape[0]
+    assert sum(s for _, s in classes) == cap
+
+    req = jnp.where(valid, desc_required_win(sigma), 0.0)
+    order = jnp.argsort(-req)
+    xs, ys, ls, ss, as_, vs = (jnp.take(a, order, axis=0)
+                               for a in (xpos, ypos, lpos, sigma, ang,
+                                         valid))
+    req_s = jnp.take(req, order, axis=0)
+
+    outs = []
+    viol = jnp.int32(0)
+    start = 0
+    for win_r, size_r in classes:
+        sl = slice(start, start + size_r)
+        if size_r:
+            outs.append(loop_descriptors(
+                both, pad_y, pad_x, xs[sl], ys[sl], ls[sl], ss[sl],
+                as_[sl], vs[sl], w, h, win_r, chunk=chunk))
+            viol = viol + jnp.sum(
+                (req_s[sl] > win_r).astype(jnp.int32))
+        start += size_r
+    out_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+    return out, viol
+
+
 # ---------------------------------------------------------------------------
 # grid family (notile / igrid / grid)
 # ---------------------------------------------------------------------------

@@ -136,6 +136,82 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
     return jnp.stack(cols, axis=-1)
 
 
+def _hist_chunked(bothp, xpos, ypos, lpos, sigma, valid,
+                  w: int, h: int, win: int, pad_y: int, pad_x: int,
+                  n_levels: int, chunk: int) -> jnp.ndarray:
+    """Chunked-histogram wrapper: (cap,) slot arrays -> (cap, 36)."""
+    cap = xpos.shape[0]
+    chunk = min(chunk, max(cap, 1))
+    n_chunks = -(-cap // chunk) if cap else 0
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    return jax.lax.map(
+        lambda c: _histograms(bothp, *c, w, h, win, pad_y, pad_x,
+                              n_levels),
+        args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
+
+
+def ori_required_win(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot window each extremum actually needs: the full
+    data-dependent radius of the reference (s_orientation.cu:105-117)."""
+    return 2.0 * jnp.round(3.0 * ORI_WINFACTOR * sigma) + 1.0
+
+
+def assign_orientations_classed(bothp: jnp.ndarray, pad_y: int, pad_x: int,
+                                xpos, ypos, lpos, sigma, valid,
+                                w: int, h: int,
+                                classes: list[tuple[int, int]],
+                                max_count: int = ORIENTATION_MAX_COUNT,
+                                chunk: int = 256):
+    """:func:`assign_orientations` with sigma-classed window sizes.
+
+    ``classes``: [(win, size), ...] in DESCENDING window order with sizes
+    summing to the slot capacity.  Slots are sorted by required window
+    (descending) so each region's slots mostly fit its window; slots
+    whose requirement exceeds their region's window are counted in the
+    returned ``violations`` scalar — the caller must then discard the
+    result and re-run the max-window path (the staged pipeline folds
+    this into its existing overflow-validation readback).  With zero
+    violations the result is EXACTLY the max-window result (windows
+    only carry masked-out pixels beyond the required radius).
+
+    Returns (num_ori, orientations, violations).
+    """
+    n_levels = bothp.shape[0] // 2
+    cap = xpos.shape[0]
+    assert sum(s for _, s in classes) == cap
+
+    req = jnp.where(valid, ori_required_win(sigma), 0.0)
+    order = jnp.argsort(-req)
+    xs, ys, ls, ss, vs = (jnp.take(a, order, axis=0)
+                          for a in (xpos, ypos, lpos, sigma, valid))
+    req_s = jnp.take(req, order, axis=0)
+
+    hists = []
+    viol = jnp.int32(0)
+    start = 0
+    for win_r, size_r in classes:
+        sl = slice(start, start + size_r)
+        if size_r:
+            hists.append(_hist_chunked(
+                bothp, xs[sl], ys[sl], ls[sl], ss[sl], vs[sl],
+                w, h, win_r, pad_y, pad_x, n_levels, chunk))
+            viol = viol + jnp.sum(
+                (req_s[sl] > win_r).astype(jnp.int32))
+        start += size_r
+    hist_sorted = jnp.concatenate(hists) if len(hists) > 1 else hists[0]
+    hist = jnp.zeros_like(hist_sorted).at[order].set(hist_sorted)
+
+    num_ori, orientations = _peaks_from_hist(hist, valid, max_count)
+    return num_ori, orientations, viol
+
+
 def assign_orientations(bothp: jnp.ndarray, pad_y: int, pad_x: int,
                         xpos: jnp.ndarray, ypos: jnp.ndarray,
                         lpos: jnp.ndarray, sigma: jnp.ndarray,
@@ -153,24 +229,15 @@ def assign_orientations(bothp: jnp.ndarray, pad_y: int, pad_x: int,
     bitonic-sorted order too, s_orientation.cu:239-248).
     """
     n_levels = bothp.shape[0] // 2
+    hist = _hist_chunked(bothp, xpos, ypos, lpos, sigma, valid,
+                         w, h, win, pad_y, pad_x, n_levels, chunk)
+    return _peaks_from_hist(hist, valid, max_count)
 
-    cap = xpos.shape[0]
-    chunk = min(chunk, max(cap, 1))
-    n_chunks = -(-cap // chunk) if cap else 0
-    pad_n = n_chunks * chunk - cap
 
-    def padv(v, fill=0):
-        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
-
-    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma),
-            padv(valid, False))
-    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
-
-    hist = jax.lax.map(
-        lambda c: _histograms(bothp, *c, w, h, win, pad_y, pad_x,
-                              n_levels),
-        args).reshape(n_chunks * chunk, ORI_NBINS)[:cap]
-
+def _peaks_from_hist(hist: jnp.ndarray, valid: jnp.ndarray,
+                     max_count: int):
+    """Smoothing + quadratic peak refinement + top-k acceptance
+    (s_orientation.cu:165-258)."""
     sm = smooth_histogram(hist)
 
     # per-bin quadratic peak refinement (s_orientation.cu:199-221)

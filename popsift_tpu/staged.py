@@ -159,10 +159,15 @@ class StagedExtractor:
         overflows = jnp.stack([e.overflow for e in exts])
         return exts, counts, overflows
 
-    def _stage2_body(self, grads, exts, ks):
+    def _stage2_body(self, grads, exts, ks, classed: bool = False):
+        """``classed=True`` (the optimistic fused path only) processes
+        sigma-sorted slots at class-sized windows and accumulates a
+        violation count the fused program's validation readback checks;
+        the exact path always runs the max window (always correct)."""
         plan = self.plan
         outs = []
         ori_counts = []
+        viol = jnp.int32(0)
         for o, k in enumerate(ks):
             if k == 0:
                 outs.append((jnp.zeros((0,), jnp.int32),
@@ -171,21 +176,37 @@ class StagedExtractor:
                 ori_counts.append(jnp.int32(0))
                 continue
             w, h = plan.dims[o]
-            from .extract import grad_pad_dims
+            from .extract import grad_pad_dims, window_classes
             pad_y, pad_x = grad_pad_dims(plan)
             e = exts[o]
-            num_ori, oris = ops_ori.assign_orientations(
-                grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k], e.lpos[:k],
-                e.sigma[:k], e.valid[:k], w, h, plan.ori_win)
+            classes = window_classes(
+                plan.ori_win, k, (1 / 8, 3 / 8, 1 / 2),
+                chunk=256, min_cap=self.CLASS_MIN_CAP) if classed else None
+            if classes is not None:
+                num_ori, oris, v = ops_ori.assign_orientations_classed(
+                    grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k],
+                    e.lpos[:k], e.sigma[:k], e.valid[:k], w, h, classes)
+                viol = viol + v
+            else:
+                num_ori, oris = ops_ori.assign_orientations(
+                    grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k],
+                    e.lpos[:k], e.sigma[:k], e.valid[:k], w, h,
+                    plan.ori_win)
             nums = jnp.where(e.valid[:k], num_ori, 0)
             incl = jnp.cumsum(nums)
             outs.append((nums, oris, incl))
             ori_counts.append(incl[-1])
-        return outs, jnp.stack(ori_counts)
+        return outs, jnp.stack(ori_counts), viol
 
-    def _stage3_body(self, grads, stacks, exts, oris, ks, bs):
+    # minimum slot capacity for the sigma-classed window split (below
+    # this the per-region chunk padding dominates); tests lower it
+    CLASS_MIN_CAP = 512
+
+    def _stage3_body(self, grads, stacks, exts, oris, ks, bs,
+                     classed: bool = False):
         plan = self.plan
         descs = []
+        viol = jnp.int32(0)
         for o in range(plan.octaves):
             k, b = ks[o], bs[o]
             if b == 0 or k == 0:
@@ -205,17 +226,28 @@ class StagedExtractor:
             ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
             el, es = e.lpos[:k][ei], e.sigma[:k][ei]
 
-            from .extract import _dispatch_descriptors, grad_pad_dims
+            from .extract import (_dispatch_descriptors, grad_pad_dims,
+                                  window_classes)
             pad_y, pad_x = grad_pad_dims(plan)
-            d = _dispatch_descriptors(
-                plan, self.consts, stacks[o], grads[o], pad_y, pad_x,
-                ex, ey, el, es, ang, ovalid, w, h)
+            classes = window_classes(
+                plan.desc_win, b, (1 / 8, 1 / 2, 3 / 8),
+                chunk=64, min_cap=self.CLASS_MIN_CAP) \
+                if classed and plan.desc_mode == DescMode.LOOP else None
+            if classes is not None:
+                d, v = ops_desc.loop_descriptors_classed(
+                    grads[o], pad_y, pad_x, ex, ey, el, es, ang, ovalid,
+                    w, h, classes)
+                viol = viol + v
+            else:
+                d = _dispatch_descriptors(
+                    plan, self.consts, stacks[o], grads[o], pad_y, pad_x,
+                    ex, ey, el, es, ang, ovalid, w, h)
             if plan.norm_mode == NormMode.ROOT_SIFT:
                 d = ops_desc.normalize_rootsift(d, plan.norm_multi, ovalid)
             else:
                 d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
             descs.append(self._quantize_descs(d))
-        return descs
+        return descs, viol
 
     # ------------------------------------------------------------------
     # Descriptor transfer precision (Config.desc_transfer): normalised
@@ -362,8 +394,9 @@ class StagedExtractor:
     def _get_stage2(self, ks: tuple[int, ...]):
         fn = self._stage2.get(ks)
         if fn is None:
+            # exact path: max windows, always correct (no sigma classes)
             fn = jax.jit(lambda grads, exts:
-                         self._stage2_body(grads, exts, ks))
+                         self._stage2_body(grads, exts, ks)[:2])
             self._stage2[ks] = fn
         return fn
 
@@ -373,7 +406,7 @@ class StagedExtractor:
             ks, bs = key
             fn = jax.jit(lambda grads, stacks, exts, oris:
                          self._stage3_body(grads, stacks, exts, oris,
-                                           ks, bs))
+                                           ks, bs)[0])
             self._stage3[key] = fn
         return fn
 
@@ -389,8 +422,9 @@ class StagedExtractor:
                 s1 = self._stage1a_fn(image)
                 exts, counts, overflows = self._stage1b_body(
                     s1["dogs"], s1["cands"], cks)
-                oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
-                descs = self._stage3_body(
+                oris, ori_counts, _ = self._stage2_body(
+                    s1["grads"], exts, ks)
+                descs, _ = self._stage3_body(
                     s1["grads"], s1["stacks"], exts, oris, ks, bs)
                 return dict(
                     cand_counts=s1["cand_counts"],
@@ -421,7 +455,7 @@ class StagedExtractor:
         # _decode_flat (equal to the device value for every row with
         # num_ori > 0; zero-ori rows' idx is never dereferenced)
         sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
-                 ("overflows", O), ("totals", 2),
+                 ("overflows", O), ("totals", 3),
                  ("x", FT), ("y", FT), ("sigma", FT),
                  ("orientation", 4 * FT),
                  ("no_oct", -(-FT // 4)),
@@ -455,9 +489,13 @@ class StagedExtractor:
         s1 = self._stage1a_fn(image)
         exts, counts, overflows = self._stage1b_body(
             s1["dogs"], s1["cands"], cks)
-        oris, ori_counts = self._stage2_body(s1["grads"], exts, ks)
-        descs = self._stage3_body(
-            s1["grads"], s1["stacks"], exts, oris, ks, bs)
+        # the optimistic program runs sigma-classed windows; the window
+        # violation count rides the flat buffer and is validated with
+        # the bucket counts (violation -> exact max-window redo)
+        oris, ori_counts, viol2 = self._stage2_body(
+            s1["grads"], exts, ks, classed=True)
+        descs, viol3 = self._stage3_body(
+            s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=True)
         p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
         dev_desc = self._dequantize_descs_dev(p["desc"])
         u = self._as_u32
@@ -468,7 +506,8 @@ class StagedExtractor:
         flat = jnp.concatenate([
             u(s1["cand_counts"]), u(counts), u(ori_counts),
             u(overflows),
-            u(jnp.stack([p["ext_total"], p["ori_total"]])),
+            u(jnp.stack([p["ext_total"], p["ori_total"],
+                         viol2 + viol3])),
             u(p["x"]), u(p["y"]), u(p["sigma"]),
             u(p["orientation"]),
             u(no_oct),
@@ -553,6 +592,7 @@ class StagedExtractor:
             ori_counts=sl("ori_counts", np.int32),
             overflows=sl("overflows", np.int32),
             ext_total=totals[0], ori_total=totals[1],
+            win_viol=totals[2],
             x=sl("x", np.float32), y=sl("y", np.float32),
             sigma=sl("sigma", np.float32),
             orientation=sl("orientation", np.float32).reshape(FT, 4),
@@ -599,7 +639,8 @@ class StagedExtractor:
               and all(int(c) <= ks[o] for o, c in enumerate(counts))
               and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))
               and int(t["ext_total"]) <= ft
-              and int(t["ori_total"]) <= bt)
+              and int(t["ori_total"]) <= bt
+              and int(t["win_viol"]) == 0)
         if ok:
             self._update_buckets(cand_counts, counts, ori_counts)
             return self._features_from_packed(t, out["dev_desc"], want_dev)
