@@ -175,6 +175,17 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
     if plan.desc_mode == DescMode.GRID:
         return ops_desc.grid_rounded_descriptors(
             stack, ex, ey, el, es, ang, ovalid)
+    # igrid / notile family
+    from .kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        # TPU: per-slot window DMA + window-local bilinear sampling
+        # (whole-plane gathers per slot are the slowest XLA lowering on
+        # TPU); edge padding reproduces the texture clamp addressing
+        stackp = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+                         mode="edge")
+        return ops_desc.grid_descriptors_windowed(
+            stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
+            plan.desc_win, consts.desc_gauss, consts.desc_tile)
     return ops_desc.grid_descriptors(
         stack, ex, ey, el, es, ang, ovalid,
         consts.desc_gauss, consts.desc_tile)

@@ -263,16 +263,23 @@ def _tile_weight_matrix(desc_tile: np.ndarray) -> np.ndarray:
 def _bilinear(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     """Bilinear sample with clamp addressing (the CUDA linear texture;
     readTex's +0.5 offset cancels the texel-centre convention so continuous
-    coordinates are in pixel space, common/assist.h:68-83)."""
+    coordinates are in pixel space, common/assist.h:68-83).
+
+    The COORDINATE is clamped to the image (like the texture hardware):
+    a sample 2+ pixels outside the border reads the pure edge value —
+    clamping the tap indices instead would blend the two edgemost pixels
+    by the out-of-range fraction, which no texture unit does."""
     h, w = img.shape
+    px = jnp.clip(px, 0.0, w - 1.0)
+    py = jnp.clip(py, 0.0, h - 1.0)
     x0f = jnp.floor(px)
     y0f = jnp.floor(py)
     fx = px - x0f
     fy = py - y0f
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = x0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y0 = y0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
     v00 = img[y0, x0]
     v01 = img[y0, x1]
     v10 = img[y1, x0]
@@ -354,6 +361,139 @@ def grid_descriptors(stack: jnp.ndarray,
             padv(valid, False))
     args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
     out = jax.lax.map(lambda c: jax.vmap(one_slot)(*c), args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+def _bilinear_win(wflat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                  win_y: int, xlo, xhi, ylo, yhi):
+    """Bilinear sample inside one flattened (win_y, 128) window.
+
+    Window-local coordinates.  Texture clamp addressing is applied per
+    tap by clamping the coordinate to the image bounds expressed in
+    window-local terms (xlo..xhi / ylo..yhi, per-slot scalars); the
+    edge-padded window content supplies the <=1px bilinear overhang at
+    the far edge.  Clamped coordinates always land inside the window
+    (clamping only moves a sample toward the keypoint, never further
+    out); the index clips are an out-of-contract backstop."""
+    px = jnp.clip(px, xlo, xhi)
+    py = jnp.clip(py, ylo, yhi)
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    fx = px - x0f
+    fy = py - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, 126)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, win_y - 2)
+    base = y0 * 128 + x0
+    v00 = jnp.take(wflat, base)
+    v01 = jnp.take(wflat, base + 1)
+    v10 = jnp.take(wflat, base + 128)
+    v11 = jnp.take(wflat, base + 129)
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def grid_descriptors_windowed(stackp: jnp.ndarray, pad_y: int, pad_x: int,
+                              xpos, ypos, lpos, sigma, ang, valid,
+                              w: int, h: int, win: int,
+                              desc_gauss: np.ndarray, desc_tile: np.ndarray,
+                              rounded: bool = False,
+                              chunk: int = 64) -> jnp.ndarray:
+    """NoTile/IGrid descriptors via batched window DMA — the TPU path.
+
+    Same math as :func:`grid_descriptors`, but each slot's rotated 40x40
+    sampling grid reads a per-slot (win_y, 128) window fetched by the
+    rolled-window DMA kernel instead of gathering from the whole octave
+    plane (whole-plane gathers per slot are the reference GPU's texture
+    strength and the TPU's weakest lowering).
+
+    stackp : (L, H+2*pad_y, W+2*pad_x) EDGE-padded blurred stack — edge
+    replication reproduces the CUDA texture's clamp addressing
+    (s_desc_notile.cu samples through readTex clamp) for coordinates up
+    to ``pad`` beyond the image.
+    """
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    steps = jnp.asarray(_grid_steps())
+    TX = jnp.asarray(_tile_weight_matrix(np.asarray(desc_tile)))
+    G = jnp.asarray(desc_gauss)
+    bins = jnp.arange(8, dtype=jnp.int32)
+
+    def one_slot(wimg, x, y, x0f, y0f, sig, a, vld):
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        wflat = wimg.reshape(-1)
+
+        sx = steps[None, :]
+        sy = steps[:, None]
+        ptx = cos_t * sx - sin_t * sy
+        pty = cos_t * sy + sin_t * sx
+        px = x + ptx * sbp
+        py = y + pty * sbp
+        if rounded:
+            px = jnp.round(px)
+            py = jnp.round(py)
+        pxr = px - x0f
+        pyr = py - y0f
+
+        # image bounds in window-local coordinates (per-tap clamp inside
+        # _bilinear_win = the texture's clamp addressing)
+        xlo, xhi = 0.0 - x0f, (w - 1.0) - x0f
+        ylo, yhi = 0.0 - y0f, (h - 1.0) - y0f
+
+        def bw(ppx, ppy):
+            return _bilinear_win(wflat, ppx, ppy, win_y, xlo, xhi,
+                                 ylo, yhi)
+
+        dx = bw(pxr + cos_t, pyr + sin_t) - bw(pxr - cos_t, pyr - sin_t)
+        dy = bw(pxr - sin_t, pyr + cos_t) - bw(pxr + sin_t, pyr - cos_t)
+        mod = jnp.hypot(dx, dy)
+        th = jnp.arctan2(dy, dx)
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+
+        tth = th * M_4RPI
+        fo = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo.astype(jnp.float32)
+        fo0 = fo & 7
+        fo1 = (fo0 + 1) & 7
+
+        ww = jnp.where(ok, G * mod, 0.0)
+        A = ((fo0[..., None] == bins) * ((1.0 - do0) * ww)[..., None]
+             + (fo1[..., None] == bins) * (do0 * ww)[..., None])
+        B = jnp.einsum("yxb,xt->ytb", A, TX,
+                       preferred_element_type=jnp.float32)
+        D = jnp.einsum("ytb,ys->stb", B, TX,
+                       preferred_element_type=jnp.float32)
+        return D.reshape(128)
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+        y0a = ya - pad_y
+        return jax.vmap(one_slot)(
+            wins, x, y, x0.astype(jnp.float32), y0a.astype(jnp.float32),
+            sig, a, vld)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 

@@ -80,3 +80,46 @@ def test_modes_agree_loosely(all_modes):
                 sims.append(float(np.dot(d, other[key])))
         assert sims, f"no common keypoints for {mode}"
         assert np.mean(sims) > 0.93, (mode, np.mean(sims))
+
+
+def test_grid_windowed_matches_plane():
+    """The TPU window-DMA grid-family path must reproduce the
+    whole-plane-gather formulation (same math, window-local sampling,
+    edge padding standing in for texture clamp addressing)."""
+    import jax.numpy as jnp
+
+    from popsift_tpu.constants import build_const_info
+    from popsift_tpu.ops import descriptors as ops_desc
+
+    rng = np.random.default_rng(9)
+    L, h, w = 4, 88, 144
+    stack = rng.random((L, h, w)).astype(np.float32)
+    for _ in range(2):
+        stack = (stack + np.roll(stack, 1, 1) + np.roll(stack, 1, 2)) / 3
+
+    cap = 96
+    x = rng.uniform(1, w - 2, cap).astype(np.float32)   # incl. near-border
+    y = rng.uniform(1, h - 2, cap).astype(np.float32)
+    lv = rng.integers(0, L, cap).astype(np.int32)
+    sig = rng.uniform(1.6, 5.0, cap).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, cap).astype(np.float32)
+    valid = rng.random(cap) < 0.9
+
+    cfg = Config()
+    consts = build_const_info(cfg)
+    win = ops_desc.desc_window_size(cfg.sigma, cfg.levels)
+    pad_y, pad_x = 120, 256
+
+    for rounded in (False, True):
+        ref = np.asarray(ops_desc.grid_descriptors(
+            jnp.asarray(stack), x, y, lv, sig, ang, valid,
+            consts.desc_gauss, consts.desc_tile, rounded=rounded))
+        stackp = jnp.pad(jnp.asarray(stack),
+                         ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+                         mode="edge")
+        out = np.asarray(ops_desc.grid_descriptors_windowed(
+            stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+            win=win, desc_gauss=consts.desc_gauss,
+            desc_tile=consts.desc_tile, rounded=rounded))
+        np.testing.assert_allclose(
+            out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
