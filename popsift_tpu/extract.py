@@ -169,23 +169,31 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
         return ops_desc.loop_descriptors(
             field, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
             plan.desc_win)
+    # sampling modes (iloop / grid / igrid / notile): on TPU each slot
+    # reads a per-slot rolled window fetched by the window-DMA kernel
+    # (whole-plane gathers per slot are the slowest XLA lowering on
+    # TPU); edge padding reproduces the texture clamp addressing
+    from .kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        stackp = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+                         mode="edge")
+        if plan.desc_mode == DescMode.ILOOP:
+            return ops_desc.iloop_descriptors_windowed(
+                stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
+                w, h, plan.desc_win)
+        if plan.desc_mode == DescMode.GRID:
+            return ops_desc.grid_rounded_descriptors_windowed(
+                stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
+                w, h, plan.desc_win)
+        return ops_desc.grid_descriptors_windowed(
+            stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
+            plan.desc_win, consts.desc_gauss, consts.desc_tile)
     if plan.desc_mode == DescMode.ILOOP:
         return ops_desc.iloop_descriptors(
             stack, ex, ey, el, es, ang, ovalid)
     if plan.desc_mode == DescMode.GRID:
         return ops_desc.grid_rounded_descriptors(
             stack, ex, ey, el, es, ang, ovalid)
-    # igrid / notile family
-    from .kernels.dispatch import pallas_enabled
-    if pallas_enabled():
-        # TPU: per-slot window DMA + window-local bilinear sampling
-        # (whole-plane gathers per slot are the slowest XLA lowering on
-        # TPU); edge padding reproduces the texture clamp addressing
-        stackp = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
-                         mode="edge")
-        return ops_desc.grid_descriptors_windowed(
-            stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
-            plan.desc_win, consts.desc_gauss, consts.desc_tile)
     return ops_desc.grid_descriptors(
         stack, ex, ey, el, es, ang, ovalid,
         consts.desc_gauss, consts.desc_tile)

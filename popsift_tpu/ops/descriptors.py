@@ -497,158 +497,281 @@ def grid_descriptors_windowed(stackp: jnp.ndarray, pad_y: int, pad_x: int,
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 
+def _grid_rounded_body(tapi, x, y, sig, a, ok, w: int, h: int, offs):
+    """Per-slot Grid-mode math given an integer-tap sampler
+    ``tapi(yy, xx)`` over image-clipped integer coordinates
+    (s_desc_grid.cu:18-121): each tile samples its own rotated 16x16
+    grid, every sample is rounded to the nearest pixel, the
+    tile/Gaussian weights are recomputed from the *rounded* position
+    (skipped when the recomputed triangle weight goes negative,
+    s_desc_grid.cu:86), the gradient is the axis-aligned central
+    difference at that pixel, and the angle is de-rotated with
+    ``th -= ang``."""
+    sbp = jnp.abs(DESC_MAGNIFY * sig)
+    ok = ok & (sbp > 0.0)
+    safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
+    cos_t = jnp.cos(a)
+    sin_t = jnp.sin(a)
+    csbp = cos_t * sbp
+    ssbp = sin_t * sbp
+
+    # local 16x16 grid in tile units: (k+0.5)/8 - 1 (s_desc_grid.cu:69)
+    k = (jnp.arange(16, dtype=jnp.float32) + 0.5) / 8.0 - 1.0
+    ul = k[None, :]
+    vl = k[:, None]
+    ulg = jnp.broadcast_to(ul, (16, 16))
+    vlg = jnp.broadcast_to(vl, (16, 16))
+    # axis-aligned offset of the sample from the tile centre (SBP units)
+    pixox = cos_t * ulg - sin_t * vlg
+    pixoy = cos_t * vlg + sin_t * ulg
+
+    bins = jnp.arange(8, dtype=jnp.int32)
+    D = jnp.zeros((4, 4, 8), jnp.float32)
+    for iy in range(4):
+        for ix in range(4):
+            oxf, oyf = float(offs[ix]), float(offs[iy])
+            ptx = csbp * oxf - ssbp * oyf + x     # tile centre
+            pty = csbp * oyf + ssbp * oxf + y
+            # round to pixel centres (s_desc_grid.cu:71)
+            px = jnp.round(ptx + pixox * sbp)
+            py = jnp.round(pty + pixoy * sbp)
+            # recomputed rotated-local coords of the rounded pixel
+            rx = (px - ptx) / safe_sbp
+            ry = (py - pty) / safe_sbp
+            nx = cos_t * rx + sin_t * ry
+            ny = cos_t * ry - sin_t * rx
+
+            ix0 = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+            iy0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+            xp = jnp.clip(ix0 + 1, 0, w - 1)
+            xm = jnp.clip(ix0 - 1, 0, w - 1)
+            yp = jnp.clip(iy0 + 1, 0, h - 1)
+            ym = jnp.clip(iy0 - 1, 0, h - 1)
+            gdx = tapi(iy0, xp) - tapi(iy0, xm)
+            gdy = tapi(yp, ix0) - tapi(ym, ix0)
+            mod = jnp.hypot(gdx, gdy)
+            th = jnp.arctan2(gdy, gdx) - a
+            th = jnp.where(th < 0.0, th + M_PI2, th)
+            th = jnp.where(th >= M_PI2, th - M_PI2, th)
+            tth = th * M_4RPI
+            fo = jnp.floor(tth).astype(jnp.int32)
+            do0 = tth - fo.astype(jnp.float32)
+            fo0 = jnp.clip(fo, 0, 7)
+            fo1 = (fo0 + 1) % 8
+
+            dnx = nx + oxf
+            dny = ny + oyf
+            ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+            wx = 1.0 - jnp.abs(nx)
+            wy = 1.0 - jnp.abs(ny)
+            good = (wx >= 0.0) & (wy >= 0.0) & ok
+            wgt = jnp.where(good, ww * wx * wy * mod, 0.0)
+            A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+                 + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+            D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
+    return D.reshape(128)
+
+
 def grid_rounded_descriptors(stack: jnp.ndarray,
                              xpos, ypos, lpos, sigma, ang, valid,
                              chunk: int = 64) -> jnp.ndarray:
-    """Grid-mode descriptors (s_desc_grid.cu:18-121): each tile samples its
-    own rotated 16x16 grid, every sample is rounded to the nearest pixel,
-    the tile/Gaussian weights are recomputed from the *rounded* position
-    (skipped when the recomputed triangle weight goes negative,
-    s_desc_grid.cu:86), the gradient is the axis-aligned central difference
-    at that pixel, and the angle is de-rotated with ``th -= ang``."""
+    """Grid-mode descriptors over whole-plane gathers (the CPU-shaped
+    formulation; see :func:`_grid_rounded_body`)."""
     L, h, w = stack.shape
     offs = np.asarray(_tile_offsets())
 
     def one_slot(x, y, l, sig, a, vld):
-        sbp = jnp.abs(DESC_MAGNIFY * sig)
-        ok = vld & (sbp > 0.0)
-        safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
-        cos_t = jnp.cos(a)
-        sin_t = jnp.sin(a)
         lp = jnp.clip(l, 0, L - 1)
         img = jax.lax.dynamic_index_in_dim(stack, lp, axis=0,
                                            keepdims=False)
-        csbp = cos_t * sbp
-        ssbp = sin_t * sbp
-
-        # local 16x16 grid in tile units: (k+0.5)/8 - 1 (s_desc_grid.cu:69)
-        k = (jnp.arange(16, dtype=jnp.float32) + 0.5) / 8.0 - 1.0
-        ul = k[None, :]
-        vl = k[:, None]
-        ulg = jnp.broadcast_to(ul, (16, 16))
-        vlg = jnp.broadcast_to(vl, (16, 16))
-        # axis-aligned offset of the sample from the tile centre (SBP units)
-        pixox = cos_t * ulg - sin_t * vlg
-        pixoy = cos_t * vlg + sin_t * ulg
-
-        bins = jnp.arange(8, dtype=jnp.int32)
-        D = jnp.zeros((4, 4, 8), jnp.float32)
-        for iy in range(4):
-            for ix in range(4):
-                oxf, oyf = float(offs[ix]), float(offs[iy])
-                ptx = csbp * oxf - ssbp * oyf + x     # tile centre
-                pty = csbp * oyf + ssbp * oxf + y
-                # round to pixel centres (s_desc_grid.cu:71)
-                px = jnp.round(ptx + pixox * sbp)
-                py = jnp.round(pty + pixoy * sbp)
-                # recomputed rotated-local coords of the rounded pixel
-                rx = (px - ptx) / safe_sbp
-                ry = (py - pty) / safe_sbp
-                nx = cos_t * rx + sin_t * ry
-                ny = cos_t * ry - sin_t * rx
-
-                ix0 = jnp.clip(px.astype(jnp.int32), 0, w - 1)
-                iy0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
-                xp = jnp.clip(ix0 + 1, 0, w - 1)
-                xm = jnp.clip(ix0 - 1, 0, w - 1)
-                yp = jnp.clip(iy0 + 1, 0, h - 1)
-                ym = jnp.clip(iy0 - 1, 0, h - 1)
-                gdx = img[iy0, xp] - img[iy0, xm]
-                gdy = img[yp, ix0] - img[ym, ix0]
-                mod = jnp.hypot(gdx, gdy)
-                th = jnp.arctan2(gdy, gdx) - a
-                th = jnp.where(th < 0.0, th + M_PI2, th)
-                th = jnp.where(th >= M_PI2, th - M_PI2, th)
-                tth = th * M_4RPI
-                fo = jnp.floor(tth).astype(jnp.int32)
-                do0 = tth - fo.astype(jnp.float32)
-                fo0 = jnp.clip(fo, 0, 7)
-                fo1 = (fo0 + 1) % 8
-
-                dnx = nx + oxf
-                dny = ny + oyf
-                ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
-                wx = 1.0 - jnp.abs(nx)
-                wy = 1.0 - jnp.abs(ny)
-                good = (wx >= 0.0) & (wy >= 0.0) & ok
-                wgt = jnp.where(good, ww * wx * wy * mod, 0.0)
-                A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
-                     + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
-                D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
-        return D.reshape(128)
+        return _grid_rounded_body(lambda yy, xx: img[yy, xx],
+                                  x, y, sig, a, vld, w, h, offs)
 
     return _chunked_slots(one_slot, (xpos, ypos, lpos, sigma, ang, valid),
                           chunk)
+
+
+def grid_rounded_descriptors_windowed(stackp: jnp.ndarray,
+                                      pad_y: int, pad_x: int,
+                                      xpos, ypos, lpos, sigma, ang, valid,
+                                      w: int, h: int, win: int,
+                                      chunk: int = 64) -> jnp.ndarray:
+    """Grid-mode descriptors via batched window DMA (TPU path).
+
+    Integer taps are image-clipped FIRST (identical semantics to the
+    plane formulation), then read from the per-slot window — a clipped
+    tap always lands inside the window because clipping only moves a
+    sample toward the keypoint."""
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    offs = np.asarray(_tile_offsets())
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+
+        def one_slot(wimg, x, y, x0i, y0i, sig, a, vld):
+            wflat = wimg.reshape(-1)
+
+            def tapi(yy, xx):
+                xr = jnp.clip(xx - x0i, 0, 127)
+                yr = jnp.clip(yy - y0i, 0, win_y - 1)
+                return jnp.take(wflat, yr * 128 + xr)
+
+            return _grid_rounded_body(tapi, x, y, sig, a, vld, w, h, offs)
+
+        return jax.vmap(one_slot)(wins, x, y, x0, ya - pad_y, sig, a, vld)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+def _iloop_body(bil, x, y, sig, a, ok, offs):
+    """Per-slot ILoop math given a bilinear sampler ``bil(px, py)``
+    (s_desc_iloop.cu:18-130): per tile, a fixed 32x32 axis-aligned sample
+    grid spanning the tile's rotated bounding box (dx, dy in [-bsz, bsz)
+    steps of bsz/16, SBP units), rotated-derivative gradients, no angle
+    subtraction."""
+    sbp = jnp.abs(DESC_MAGNIFY * sig)
+    ok = ok & (sbp > 0.0)
+    cos_t = jnp.cos(a)
+    sin_t = jnp.sin(a)
+    bsz = jnp.abs(cos_t) + jnp.abs(sin_t)
+
+    k = jnp.arange(32, dtype=jnp.float32)
+    dx = (-bsz + k * bsz / 16.0)[None, :]    # (1, 32)
+    dy = (-bsz + k * bsz / 16.0)[:, None]    # (32, 1)
+    dxg = jnp.broadcast_to(dx, (32, 32))
+    dyg = jnp.broadcast_to(dy, (32, 32))
+
+    nx = cos_t * dxg + sin_t * dyg
+    ny = cos_t * dyg - sin_t * dxg
+    nn_ok = (jnp.abs(nx) < 1.0) & (jnp.abs(ny) < 1.0)
+
+    D = jnp.zeros((4, 4, 8), jnp.float32)
+    bins = jnp.arange(8, dtype=jnp.int32)
+    csbp = cos_t * sbp
+    ssbp = sin_t * sbp
+    for iy in range(4):
+        for ix in range(4):
+            ox, oy = float(offs[ix]), float(offs[iy])
+            ptx = csbp * ox - ssbp * oy
+            pty = csbp * oy + ssbp * ox
+            jj = x + ptx + dxg * sbp
+            ii = y + pty + dyg * sbp
+            gdx = bil(jj + cos_t, ii + sin_t) \
+                - bil(jj - cos_t, ii - sin_t)
+            gdy = bil(jj - sin_t, ii + cos_t) \
+                - bil(jj + sin_t, ii - cos_t)
+            mod = jnp.hypot(gdx, gdy)
+            th = jnp.arctan2(gdy, gdx)
+            th = jnp.where(th < 0.0, th + M_PI2, th)
+            th = jnp.where(th >= M_PI2, th - M_PI2, th)
+            tth = th * M_4RPI
+            fo = jnp.floor(tth).astype(jnp.int32)
+            do0 = tth - fo.astype(jnp.float32)
+            fo0 = jnp.clip(fo, 0, 7)
+            fo1 = (fo0 + 1) % 8
+
+            dnx = nx + ox
+            dny = ny + oy
+            ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+            wgt = jnp.where(nn_ok & ok,
+                            ww * (1.0 - jnp.abs(nx))
+                            * (1.0 - jnp.abs(ny)) * mod, 0.0)
+            A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+                 + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+            D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
+    return D.reshape(128)
 
 
 def iloop_descriptors(stack: jnp.ndarray,
                       xpos, ypos, lpos, sigma, ang, valid,
                       chunk: int = 32) -> jnp.ndarray:
-    """ILoop-mode descriptors (s_desc_iloop.cu:18-130): per tile, a fixed
-    32x32 axis-aligned sample grid spanning the tile's rotated bounding box
-    (dx, dy in [-bsz, bsz) steps of bsz/16, SBP units), rotated-derivative
-    gradients via bilinear interpolation, no angle subtraction."""
+    """ILoop-mode descriptors over whole-plane bilinear gathers (the
+    CPU/reference-shaped formulation; see :func:`_iloop_body`)."""
     L, h, w = stack.shape
     offs = np.asarray(_tile_offsets())
 
     def one_slot(x, y, l, sig, a, vld):
-        sbp = jnp.abs(DESC_MAGNIFY * sig)
-        ok = vld & (sbp > 0.0)
-        cos_t = jnp.cos(a)
-        sin_t = jnp.sin(a)
         lp = jnp.clip(l, 0, L - 1)
         img = jax.lax.dynamic_index_in_dim(stack, lp, axis=0,
                                            keepdims=False)
-        bsz = jnp.abs(cos_t) + jnp.abs(sin_t)
-
-        k = jnp.arange(32, dtype=jnp.float32)
-        dx = (-bsz + k * bsz / 16.0)[None, :]    # (1, 32)
-        dy = (-bsz + k * bsz / 16.0)[:, None]    # (32, 1)
-        dxg = jnp.broadcast_to(dx, (32, 32))
-        dyg = jnp.broadcast_to(dy, (32, 32))
-
-        nx = cos_t * dxg + sin_t * dyg
-        ny = cos_t * dyg - sin_t * dxg
-        nn_ok = (jnp.abs(nx) < 1.0) & (jnp.abs(ny) < 1.0)
-
-        D = jnp.zeros((4, 4, 8), jnp.float32)
-        bins = jnp.arange(8, dtype=jnp.int32)
-        csbp = cos_t * sbp
-        ssbp = sin_t * sbp
-        for iy in range(4):
-            for ix in range(4):
-                ox, oy = float(offs[ix]), float(offs[iy])
-                ptx = csbp * ox - ssbp * oy
-                pty = csbp * oy + ssbp * ox
-                jj = x + ptx + dxg * sbp
-                ii = y + pty + dyg * sbp
-                gdx = _bilinear(img, jj + cos_t, ii + sin_t) \
-                    - _bilinear(img, jj - cos_t, ii - sin_t)
-                gdy = _bilinear(img, jj - sin_t, ii + cos_t) \
-                    - _bilinear(img, jj + sin_t, ii - cos_t)
-                mod = jnp.hypot(gdx, gdy)
-                th = jnp.arctan2(gdy, gdx)
-                th = jnp.where(th < 0.0, th + M_PI2, th)
-                th = jnp.where(th >= M_PI2, th - M_PI2, th)
-                tth = th * M_4RPI
-                fo = jnp.floor(tth).astype(jnp.int32)
-                do0 = tth - fo.astype(jnp.float32)
-                fo0 = jnp.clip(fo, 0, 7)
-                fo1 = (fo0 + 1) % 8
-
-                dnx = nx + ox
-                dny = ny + oy
-                ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
-                wgt = jnp.where(nn_ok & ok,
-                                ww * (1.0 - jnp.abs(nx))
-                                * (1.0 - jnp.abs(ny)) * mod, 0.0)
-                A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
-                     + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
-                D = D.at[iy, ix].set(jnp.sum(A, axis=(0, 1)))
-        return D.reshape(128)
+        return _iloop_body(lambda px, py: _bilinear(img, px, py),
+                           x, y, sig, a, vld, offs)
 
     return _chunked_slots(one_slot, (xpos, ypos, lpos, sigma, ang, valid),
                           chunk)
+
+
+def iloop_descriptors_windowed(stackp: jnp.ndarray, pad_y: int, pad_x: int,
+                               xpos, ypos, lpos, sigma, ang, valid,
+                               w: int, h: int, win: int,
+                               chunk: int = 32) -> jnp.ndarray:
+    """ILoop descriptors via batched window DMA (TPU path; same window
+    contract as :func:`grid_descriptors_windowed`)."""
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    offs = np.asarray(_tile_offsets())
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+        y0a = ya - pad_y
+
+        def one_slot(wimg, x, y, x0f, y0f, sig, a, vld):
+            wflat = wimg.reshape(-1)
+            xlo, xhi = 0.0 - x0f, (w - 1.0) - x0f
+            ylo, yhi = 0.0 - y0f, (h - 1.0) - y0f
+
+            def bil(px, py):
+                return _bilinear_win(wflat, px - x0f, py - y0f, win_y,
+                                     xlo, xhi, ylo, yhi)
+
+            return _iloop_body(bil, x, y, sig, a, vld, offs)
+
+        return jax.vmap(one_slot)(
+            wins, x, y, x0.astype(jnp.float32), y0a.astype(jnp.float32),
+            sig, a, vld)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
 
 
 def _chunked_slots(one_slot, args, chunk: int) -> jnp.ndarray:

@@ -110,16 +110,32 @@ def test_grid_windowed_matches_plane():
     win = ops_desc.desc_window_size(cfg.sigma, cfg.levels)
     pad_y, pad_x = 120, 256
 
+    stackp = jnp.pad(jnp.asarray(stack),
+                     ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
+                     mode="edge")
     for rounded in (False, True):
         ref = np.asarray(ops_desc.grid_descriptors(
             jnp.asarray(stack), x, y, lv, sig, ang, valid,
             consts.desc_gauss, consts.desc_tile, rounded=rounded))
-        stackp = jnp.pad(jnp.asarray(stack),
-                         ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
-                         mode="edge")
         out = np.asarray(ops_desc.grid_descriptors_windowed(
             stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
             win=win, desc_gauss=consts.desc_gauss,
             desc_tile=consts.desc_tile, rounded=rounded))
         np.testing.assert_allclose(
             out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
+
+    # iloop: whole-plane vs windowed
+    ref = np.asarray(ops_desc.iloop_descriptors(
+        jnp.asarray(stack), x, y, lv, sig, ang, valid))
+    out = np.asarray(ops_desc.iloop_descriptors_windowed(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, w, h, win))
+    np.testing.assert_allclose(
+        out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
+
+    # grid (rounded integer taps): whole-plane vs windowed
+    ref = np.asarray(ops_desc.grid_rounded_descriptors(
+        jnp.asarray(stack), x, y, lv, sig, ang, valid))
+    out = np.asarray(ops_desc.grid_rounded_descriptors_windowed(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, w, h, win))
+    np.testing.assert_allclose(
+        out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
