@@ -75,6 +75,12 @@ class StagedExtractor:
         self._fused_packed_batch = {}
         self._last_buckets = None
         self._last_key5 = None
+        # sigma-classed windows: on for the optimistic program; a streak
+        # of window violations (heavy-tail sigma content, e.g. heavily
+        # blurred streams) turns it off for this extractor so frames stop
+        # paying classed-run-then-exact-redo twice
+        self._classes_enabled = True
+        self._class_viol_streak = 0
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
@@ -483,7 +489,7 @@ class StagedExtractor:
                 jnp.float32 if a.dtype == jnp.float32 else jnp.int32),
             jnp.uint32)
 
-    def _fused_packed_image(self, image, key: tuple):
+    def _fused_packed_image(self, image, key: tuple, classed: bool = True):
         """Per-image stage1a..finalize body producing (flat u32, dev_desc)."""
         cks, ks, bs, ft, bt = key
         s1 = self._stage1a_fn(image)
@@ -493,9 +499,9 @@ class StagedExtractor:
         # violation count rides the flat buffer and is validated with
         # the bucket counts (violation -> exact max-window redo)
         oris, ori_counts, viol2 = self._stage2_body(
-            s1["grads"], exts, ks, classed=True)
+            s1["grads"], exts, ks, classed=classed)
         descs, viol3 = self._stage3_body(
-            s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=True)
+            s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=classed)
         p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
         dev_desc = self._dequantize_descs_dev(p["desc"])
         u = self._as_u32
@@ -518,14 +524,16 @@ class StagedExtractor:
         """Stage1a..finalize in ONE jitted program for a known bucket
         5-tuple (cks, ks, bs, ft, bt): one dispatch, one single-array
         readback (see _flat_layout)."""
-        fn = self._fused_packed.get(key)
+        classed = self._classes_enabled
+        fn = self._fused_packed.get((key, classed))
         if fn is None:
             def fused(image):
-                flat, dev_desc = self._fused_packed_image(image, key)
+                flat, dev_desc = self._fused_packed_image(
+                    image, key, classed=classed)
                 return dict(flat=flat, dev_desc=dev_desc)
 
             fn = jax.jit(fused)
-            self._fused_packed[key] = fn
+            self._fused_packed[(key, classed)] = fn
         return fn
 
     # batch size of the multi-image fused program (one dispatch + one
@@ -535,18 +543,20 @@ class StagedExtractor:
     BATCH = 4
 
     def _get_fused_packed_batch(self, key: tuple):
-        fn = self._fused_packed_batch.get(key)
+        classed = self._classes_enabled
+        fn = self._fused_packed_batch.get((key, classed))
         if fn is None:
             B = self.BATCH
 
             def fused(*images):
-                outs = [self._fused_packed_image(images[i], key)
+                outs = [self._fused_packed_image(images[i], key,
+                                                 classed=classed)
                         for i in range(B)]
                 return dict(flat=jnp.stack([o[0] for o in outs]),
                             dev_desc=jnp.stack([o[1] for o in outs]))
 
             fn = jax.jit(fused)
-            self._fused_packed_batch[key] = fn
+            self._fused_packed_batch[(key, classed)] = fn
         return fn
 
     def extract_dispatch_batch(self, images):
@@ -635,6 +645,16 @@ class StagedExtractor:
         cand_counts = t["cand_counts"]
         counts = t["counts"]
         ori_counts = t["ori_counts"]
+        if int(t["win_viol"]) > 0:
+            # heavy-tail sigma content: a violation streak disables the
+            # sigma-classed windows for this extractor (the next compile
+            # of the fused program is max-window everywhere) so frames
+            # stop paying classed-run-then-exact-redo twice
+            self._class_viol_streak += 1
+            if self._class_viol_streak >= 3:
+                self._classes_enabled = False
+        else:
+            self._class_viol_streak = 0
         ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
               and all(int(c) <= ks[o] for o, c in enumerate(counts))
               and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))

@@ -147,3 +147,13 @@ def test_staged_violation_falls_back_to_exact(textured_image, monkeypatch):
     np.testing.assert_allclose(np.asarray(out.get_descriptors()),
                                np.asarray(ref.get_descriptors()),
                                atol=2e-2)
+
+    # a streak of violations disables the classes: the next compiled
+    # optimistic program is max-window and validates clean
+    assert ex._classes_enabled
+    for _ in range(2):
+        ex.extract_features(norm)
+    assert not ex._classes_enabled
+    f = ex.extract_features(norm)
+    assert ex._class_viol_streak == 0
+    assert f.get_feature_count() == ref.get_feature_count()
