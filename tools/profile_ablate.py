@@ -89,6 +89,22 @@ def main():
                 ex_, ey, el, es, ang, ovalid, w_, h_):
         return jnp.zeros((ex_.shape[0], 128), jnp.float32) + grads[0, 0, 0]
 
+    # classed variants (the optimistic fused program calls these instead
+    # of assign_orientations / _dispatch_descriptors)
+    def no_ori_classed(bothp, pad_y, pad_x, xpos, ypos, lpos, sigma,
+                       valid, w_, h_, classes, max_count=4, chunk=256):
+        cap = xpos.shape[0]
+        return (valid.astype(jnp.int32),
+                jnp.zeros((cap, max_count), jnp.float32)
+                + bothp[0, 0, 0], jnp.int32(0))
+
+    def no_desc_classed(both, pad_y, pad_x, xpos, ypos, lpos, sigma,
+                        ang, valid, w_, h_, classes, chunk=64):
+        return (jnp.zeros((xpos.shape[0], 128), jnp.float32)
+                + both[0, 0, 0], jnp.int32(0))
+
+    import popsift_tpu.ops.descriptors as ops_desc_mod
+
     variants = [
         ("full", []),
         ("no-grad", [patched(ops_grad, "padded_gradient_field", no_grad)]),
@@ -105,8 +121,12 @@ def main():
                                        (jnp.abs(dog[..., ::64]) > t)
                                        .astype(jnp.int32)), cap)))]),
         ("no-refine", [patched(ops_ext, "refine_extrema_multi", no_ref)]),
-        ("no-orient", [patched(ops_ori, "assign_orientations", no_ori)]),
-        ("no-desc", [patched(ext_mod, "_dispatch_descriptors", no_desc)]),
+        ("no-orient", [patched(ops_ori, "assign_orientations", no_ori),
+                       patched(ops_ori, "assign_orientations_classed",
+                               no_ori_classed)]),
+        ("no-desc", [patched(ext_mod, "_dispatch_descriptors", no_desc),
+                     patched(ops_desc_mod, "loop_descriptors_classed",
+                             no_desc_classed)]),
     ]
 
     def slope(fn):
