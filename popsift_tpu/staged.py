@@ -25,6 +25,7 @@ padding waste is bounded by 2x instead of capacity/count.
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Any
 
@@ -81,6 +82,10 @@ class StagedExtractor:
         # paying classed-run-then-exact-redo twice
         self._classes_enabled = True
         self._class_viol_streak = 0
+        # recent actual descriptor totals, for the count-adaptive prefix
+        # fetch of the flat transfer buffer (desc section is last)
+        self._recent_ori_totals: collections.deque = collections.deque(
+            maxlen=8)
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
@@ -210,13 +215,20 @@ class StagedExtractor:
 
     def _stage3_body(self, grads, stacks, exts, oris, ks, bs,
                      classed: bool = False):
+        """Returns (descs, angds, viol): per-octave descriptors, the
+        per-descriptor-row angles (the wire carries ONE angle per
+        descriptor row instead of 4 per feature slot — at mean
+        num_ori~1.05 the (FT, 4) orientation section was ~97% padding),
+        and the classed-window violation count."""
         plan = self.plan
         descs = []
+        angds = []
         viol = jnp.int32(0)
         for o in range(plan.octaves):
             k, b = ks[o], bs[o]
             if b == 0 or k == 0:
                 descs.append(jnp.zeros((0, 128), jnp.float32))
+                angds.append(jnp.zeros((0,), jnp.float32))
                 continue
             w, h = plan.dims[o]
             e = exts[o]
@@ -229,6 +241,7 @@ class StagedExtractor:
             ei = jnp.clip(fmap, 0, k - 1)
             kk = jnp.clip(j - idx_ori[ei], 0, 3)
             ang = angs[ei, kk]
+            angds.append(jnp.where(ovalid, ang, 0.0))
             ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
             el, es = e.lpos[:k][ei], e.sigma[:k][ei]
 
@@ -253,7 +266,7 @@ class StagedExtractor:
             else:
                 d = ops_desc.normalize_l2(d, plan.norm_multi, ovalid)
             descs.append(self._quantize_descs(d))
-        return descs, viol
+        return descs, angds, viol
 
     # ------------------------------------------------------------------
     # Descriptor transfer precision (Config.desc_transfer): normalised
@@ -284,7 +297,8 @@ class StagedExtractor:
             return arr.astype(np.float32) * (bound / 255.0)
         return arr
 
-    def _finalize_body(self, exts, oris, descs, ks, bs, ft: int, bt: int):
+    def _finalize_body(self, exts, oris, descs, angds, ks, bs,
+                       ft: int, bt: int):
         """Device-side feature finalisation: the analog of prep_features
         (sift_pyramid.cu:250-280) plus global compaction.
 
@@ -321,7 +335,7 @@ class StagedExtractor:
             zi = jnp.zeros((max(ft, 1),), jnp.int32)
             return dict(
                 x=z, y=z, sigma=z, num_ori=zi, idx_ori=zi, octave=zi,
-                orientation=jnp.zeros((max(ft, 1), 4), jnp.float32),
+                ori_d=jnp.zeros((max(bt, 1),), jnp.float32),
                 desc=jnp.zeros((max(bt, 1), 128), desc_dtype),
                 ext_total=jnp.int32(0), ori_total=jnp.int32(0))
 
@@ -338,7 +352,7 @@ class StagedExtractor:
                 for name in ("x", "y", "sigma")}
         ibuf = {name: jnp.zeros((FT,), jnp.int32)
                 for name in ("num_ori", "idx_ori", "octave")}
-        abuf = jnp.zeros((FT, 4), jnp.float32)
+        obuf = jnp.zeros((BT,), jnp.float32)
         dbuf = jnp.zeros((BT, 128), desc_dtype)
 
         base_e = jnp.int32(0)
@@ -367,9 +381,9 @@ class StagedExtractor:
                                   (be_o,))
             ibuf["octave"] = dus(ibuf["octave"],
                                  jnp.full((k,), o, jnp.int32), (be_o,))
-            abuf = dus(abuf, angs, (be_o, jnp.int32(0)))
             if b > 0 and bt > 0:
                 dbuf = dus(dbuf, descs[o], (bd_o, jnp.int32(0)))
+                obuf = dus(obuf, angds[o], (bd_o,))
             base_e = base_e + ecnt
             base_d = base_d + dcnt
 
@@ -377,6 +391,7 @@ class StagedExtractor:
         ori_total = base_d
         i = jnp.arange(ft, dtype=jnp.int32)
         valid_f = i < ext_total
+        jd = jnp.arange(max(bt, 1), dtype=jnp.int32)
         feat = dict(
             x=jnp.where(valid_f, fbuf["x"][:ft], 0.0),
             y=jnp.where(valid_f, fbuf["y"][:ft], 0.0),
@@ -384,7 +399,7 @@ class StagedExtractor:
             num_ori=jnp.where(valid_f, ibuf["num_ori"][:ft], 0),
             idx_ori=jnp.where(valid_f, ibuf["idx_ori"][:ft], 0),
             octave=jnp.where(valid_f, ibuf["octave"][:ft], 0),
-            orientation=jnp.where(valid_f[:, None], abuf[:ft], 0.0),
+            ori_d=jnp.where(jd < ori_total, obuf[:max(bt, 1)], 0.0),
             desc=dbuf[:max(bt, 1)],
             ext_total=ext_total, ori_total=ori_total)
         return feat
@@ -412,7 +427,7 @@ class StagedExtractor:
             ks, bs = key
             fn = jax.jit(lambda grads, stacks, exts, oris:
                          self._stage3_body(grads, stacks, exts, oris,
-                                           ks, bs)[0])
+                                           ks, bs)[0])  # descs only
             self._stage3[key] = fn
         return fn
 
@@ -430,7 +445,7 @@ class StagedExtractor:
                     s1["dogs"], s1["cands"], cks)
                 oris, ori_counts, _ = self._stage2_body(
                     s1["grads"], exts, ks)
-                descs, _ = self._stage3_body(
+                descs, _, _ = self._stage3_body(
                     s1["grads"], s1["stacks"], exts, oris, ks, bs)
                 return dict(
                     cand_counts=s1["cand_counts"],
@@ -460,10 +475,14 @@ class StagedExtractor:
         # exclusive cumsum of num_ori, reconstructed host-side in
         # _decode_flat (equal to the device value for every row with
         # num_ori > 0; zero-ori rows' idx is never dereferenced)
+        # ori_d: ONE f32 angle per descriptor row (orientation[4] per
+        # feature is reconstructed host-side from num_ori/idx_ori); desc
+        # is deliberately LAST so the downloader can fetch a
+        # count-adaptive prefix of the buffer (see wire_prefix_words)
         sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
                  ("overflows", O), ("totals", 3),
                  ("x", FT), ("y", FT), ("sigma", FT),
-                 ("orientation", 4 * FT),
+                 ("ori_d", BT),
                  ("no_oct", -(-FT // 4)),
                  ("desc", desc_words)]
         off, layout = 0, {}
@@ -473,6 +492,34 @@ class StagedExtractor:
         layout["_total"] = off
         layout["_FT"], layout["_BT"] = FT, BT
         return layout
+
+    # prefix-fetch quantum (u32 words; 64 KiB) — coarse so the tiny
+    # device-side slice programs stay few and cached
+    WIRE_GRAN = 16384
+
+    def wire_prefix_words(self, key: tuple) -> int | None:
+        """Count-adaptive transfer length for the flat buffer.
+
+        The desc section is last and bucket-padded; frames only need
+        ``ori_total`` rows of it.  Returns the 64 KiB-quantised word
+        count covering every header section plus 1.125x the recent-max
+        descriptor total, or None when the full buffer should be fetched
+        (no history yet, or the estimate reaches the bucket anyway).
+        A frame whose actual counts exceed the prefix is refetched in
+        full by :meth:`extract_collect` — the same optimistic-validation
+        pattern as the bucket system."""
+        if not self._recent_ori_totals:
+            return None
+        lay = self._flat_layout(key)
+        a, b = lay["desc"]
+        bt_rows = lay["_BT"]
+        est_rows = int(max(self._recent_ori_totals) * 1.125) + 8
+        if est_rows >= bt_rows:
+            return None
+        wpr = (b - a) // bt_rows  # words per descriptor row
+        need = a + est_rows * wpr
+        need = -(-need // self.WIRE_GRAN) * self.WIRE_GRAN
+        return need if need < lay["_total"] else None
 
     @staticmethod
     def _as_u32(a):
@@ -500,9 +547,9 @@ class StagedExtractor:
         # the bucket counts (violation -> exact max-window redo)
         oris, ori_counts, viol2 = self._stage2_body(
             s1["grads"], exts, ks, classed=classed)
-        descs, viol3 = self._stage3_body(
+        descs, angds, viol3 = self._stage3_body(
             s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=classed)
-        p = self._finalize_body(exts, oris, descs, ks, bs, ft, bt)
+        p = self._finalize_body(exts, oris, descs, angds, ks, bs, ft, bt)
         dev_desc = self._dequantize_descs_dev(p["desc"])
         u = self._as_u32
         no_oct = (p["num_ori"] | (p["octave"] << 3)).astype(jnp.uint8)
@@ -515,7 +562,7 @@ class StagedExtractor:
             u(jnp.stack([p["ext_total"], p["ori_total"],
                          viol2 + viol3])),
             u(p["x"]), u(p["y"]), u(p["sigma"]),
-            u(p["orientation"]),
+            u(p["ori_d"]),
             u(no_oct),
             u(p["desc"])])
         return flat, dev_desc
@@ -566,15 +613,23 @@ class StagedExtractor:
         key = self._last_key5
         if key is None or len(images) != self.BATCH:
             return None
-        return (key, self._get_fused_packed_batch(key)(*images))
+        out = self._get_fused_packed_batch(key)(*images)
+        n = self.wire_prefix_words(key)
+        return (key, dict(
+            flat=out["flat"][:, :n] if n else out["flat"],
+            flat_full=out["flat"] if n else None,
+            dev_desc=out["dev_desc"]))
 
     def extract_collect_batch(self, images, pending, flats: np.ndarray,
                               want_dev: bool = False):
         """Decode a fetched (BATCH, words) buffer into one Features per
         image (per-image validation; exact-path fallback per image)."""
         key, out = pending
+        ff = out.get("flat_full")
         return [self.extract_collect(
             images[i], (key, dict(flat=None,
+                                  flat_full=(None if ff is None
+                                             else (ff, i)),
                                   dev_desc=out["dev_desc"][i])),
             flats[i], want_dev)
             for i in range(self.BATCH)]
@@ -591,7 +646,13 @@ class StagedExtractor:
         totals = sl("totals", np.int32)
         desc_dt = {"u16": np.uint16, "u8": np.uint8}.get(
             self.config.desc_transfer, np.float32)
-        desc = sl("desc", desc_dt).reshape(BT, 128)
+        # desc is the last section and may be prefix-fetched: decode the
+        # rows that arrived (the collect path validates sufficiency
+        # against the actual ori_total and refetches when short)
+        a, b = lay["desc"]
+        avail = flat[a:min(b, flat.size)].view(desc_dt)
+        rows_avail = avail.size // 128
+        desc = avail[:rows_avail * 128].reshape(rows_avail, 128)
         no_oct = sl("no_oct", np.uint8)[:FT]
         num_ori = (no_oct & 7).astype(np.int32)
         idx_ori = np.zeros(FT, np.int32)
@@ -605,7 +666,7 @@ class StagedExtractor:
             win_viol=totals[2],
             x=sl("x", np.float32), y=sl("y", np.float32),
             sigma=sl("sigma", np.float32),
-            orientation=sl("orientation", np.float32).reshape(FT, 4),
+            ori_d=sl("ori_d", np.float32),
             num_ori=num_ori,
             idx_ori=idx_ori,
             octave=(no_oct >> 3).astype(np.int32),
@@ -633,7 +694,12 @@ class StagedExtractor:
         key = self._last_key5
         if key is None:
             return None
-        return (key, self._get_fused_packed(key)(image))
+        out = self._get_fused_packed(key)(image)
+        n = self.wire_prefix_words(key)
+        return (key, dict(
+            flat=out["flat"][:n] if n else out["flat"],
+            flat_full=out["flat"] if n else None,
+            dev_desc=out["dev_desc"]))
 
     def extract_collect(self, image, pending, flat: np.ndarray,
                         want_dev: bool = False):
@@ -662,6 +728,17 @@ class StagedExtractor:
               and int(t["ori_total"]) <= bt
               and int(t["win_viol"]) == 0)
         if ok:
+            need_rows = min(int(t["ori_total"]),
+                            self._flat_layout(key)["_BT"])
+            if t["desc"].shape[0] < need_rows:
+                # the count-adaptive prefix under-fetched the desc
+                # section (count jump): one full refetch, rare by
+                # construction (estimate = 1.125x recent max)
+                ff = out.get("flat_full")
+                if ff is None:
+                    return self._extract_exact(image, want_dev)
+                full = ff[0][ff[1]] if isinstance(ff, tuple) else ff
+                t = self._decode_flat(np.asarray(full), key)
             self._update_buckets(cand_counts, counts, ori_counts)
             return self._features_from_packed(t, out["dev_desc"], want_dev)
         return self._extract_exact(image, want_dev)
@@ -707,9 +784,16 @@ class StagedExtractor:
         idx0 = np.asarray(t["idx_ori"][:n], np.int64)
         kk = np.arange(ORIENTATION_MAX_COUNT, dtype=np.int64)[None, :]
         didx = np.where(kk < num[:, None], idx0[:, None] + kk, -1)
+        # orientation[4] per feature reconstructed from the per-descriptor
+        # angle section (wire carries one angle per descriptor row)
+        ori_d = t["ori_d"]
+        orientation = np.where(
+            didx >= 0,
+            ori_d[np.clip(didx, 0, max(ori_d.size - 1, 0))],
+            np.float32(0.0)).astype(np.float32)
         soa = dict(
             xpos=t["x"][:n], ypos=t["y"][:n], sigma=t["sigma"][:n],
-            num_ori=num, orientation=t["orientation"][:n],
+            num_ori=num, orientation=orientation,
             desc_idx=didx, debug_octave=t["octave"][:n])
         return FeaturesHost(soa=soa,
                             descriptors=self._dequantize_descs(
@@ -811,6 +895,7 @@ class StagedExtractor:
         ext_total = sum(min(int(c), ks[o]) for o, c in enumerate(counts))
         ori_total = sum(min(int(c), bs[o])
                         for o, c in enumerate(ori_counts))
+        self._recent_ori_totals.append(ori_total)
         lf, lb = ((self._last_key5[3], self._last_key5[4])
                   if self._last_key5 else (0, 0))
         ft = min(step(lf, ext_total, sum(plan.ext_caps)), sum(ks))

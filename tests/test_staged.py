@@ -134,3 +134,69 @@ def test_desc_transfer_precisions(blob_image):
                                atol=1.01 / 65535.0)
     np.testing.assert_allclose(descs["u8"], descs["f32"],
                                atol=1.01 / 255.0)
+
+
+def test_wire_prefix_words():
+    """Count-adaptive prefix math: quantised, covers the estimate, never
+    exceeds the full buffer, and degrades to full fetch without history
+    or when the estimate reaches the bucket."""
+    cfg = Config()
+    st = StagedExtractor(cfg, 128, 96)
+    O = st.plan.octaves
+    key = ((128,) * O, (128,) * O, (128,) * O, 256, 2560)
+    lay = st._flat_layout(key)
+    assert st.wire_prefix_words(key) is None  # no history yet
+    st._recent_ori_totals.append(100)
+    n = st.wire_prefix_words(key)
+    a, b = lay["desc"]
+    wpr = (b - a) // lay["_BT"]
+    if n is not None:
+        assert n >= a + (int(100 * 1.125) + 8) * wpr
+        assert n % st.WIRE_GRAN == 0
+        assert n < lay["_total"]
+    st._recent_ori_totals.append(2560)  # estimate >= bucket
+    assert st.wire_prefix_words(key) is None
+
+
+def test_decode_flat_truncated():
+    """_decode_flat on a prefix: every header section decodes as from the
+    full buffer; the desc section yields exactly the rows that arrived."""
+    cfg = Config()
+    st = StagedExtractor(cfg, 128, 96)
+    O = st.plan.octaves
+    key = ((128,) * O, (128,) * O, (128,) * O, 128, 128)
+    lay = st._flat_layout(key)
+    rng = np.random.default_rng(0)
+    flat = rng.integers(0, 2 ** 32, size=lay["_total"],
+                        dtype=np.uint64).astype(np.uint32)
+    full = st._decode_flat(flat, key)
+    a, b = lay["desc"]
+    wpr = (b - a) // lay["_BT"]
+    part = st._decode_flat(flat[:a + 7 * wpr], key)
+    assert part["desc"].shape == (7, 128)
+    np.testing.assert_array_equal(part["desc"], full["desc"][:7])
+    np.testing.assert_array_equal(part["ori_d"], full["ori_d"])
+    np.testing.assert_array_equal(part["num_ori"], full["num_ori"])
+    np.testing.assert_array_equal(part["x"], full["x"])
+
+
+def test_wire_prefix_refetch(textured_image):
+    """A frame whose counts exceed the prefix estimate is refetched in
+    full and still decodes identically to the exact path."""
+    h, w = textured_image.shape
+    cfg = Config()
+    norm = normalize_input(textured_image)
+    st = StagedExtractor(cfg, w, h)
+    exact = st.extract_features(norm)
+    assert exact.get_descriptor_count() > 8
+    # sabotage the estimate so the packed path's prefix under-fetches
+    st._recent_ori_totals.clear()
+    st._recent_ori_totals.append(0)
+    st.WIRE_GRAN = 8
+    packed = st.extract_features(norm)
+    assert packed.get_feature_count() == exact.get_feature_count()
+    assert packed.get_descriptor_count() == exact.get_descriptor_count()
+    np.testing.assert_allclose(
+        np.sort(np.asarray(packed.get_descriptors()), axis=0),
+        np.sort(np.asarray(exact.get_descriptors()), axis=0),
+        rtol=1e-4, atol=2e-5)

@@ -89,7 +89,7 @@ def main():
 
     orig_fin = StagedExtractor._finalize_body
 
-    def no_finalize(self, exts, oris, descs, ks, bs, ft, bt):
+    def no_finalize(self, exts, oris, descs, angds, ks, bs, ft, bt):
         desc_dtype = {"u16": jnp.uint16, "u8": jnp.uint8}.get(
             self.config.desc_transfer, jnp.float32)
         FT, BT = max(ft, 1), max(bt, 1)
@@ -98,7 +98,7 @@ def main():
         zi = jnp.zeros((FT,), jnp.int32)
         return dict(
             x=z, y=z, sigma=z, num_ori=zi, idx_ori=zi, octave=zi,
-            orientation=jnp.zeros((FT, 4), jnp.float32),
+            ori_d=jnp.zeros((BT,), jnp.float32),
             desc=jnp.zeros((BT, 128), desc_dtype),
             rev=jnp.zeros((BT,), jnp.int32),
             ext_total=jnp.int32(0), ori_total=jnp.int32(0))

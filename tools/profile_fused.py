@@ -36,11 +36,11 @@ def main():
                 s1["dogs"], s1["cands"], cks)
             if stage == "refine":
                 return counts
-            oris, ori_counts = ex._stage2_body(s1["grads"], exts, ks)
+            oris, ori_counts, _ = ex._stage2_body(s1["grads"], exts, ks)
             if stage == "orient":
                 return ori_counts
-            descs = ex._stage3_body(s1["grads"], s1["stacks"], exts, oris,
-                                    ks, bs)
+            descs, _, _ = ex._stage3_body(s1["grads"], s1["stacks"],
+                                          exts, oris, ks, bs)
             return jnp.stack([jnp.sum(d) for d in descs if d.shape[0]])
         return jax.jit(fn)
 
