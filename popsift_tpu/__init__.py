@@ -31,24 +31,29 @@ def _enable_compilation_cache() -> None:
         if (jax.config.jax_compilation_cache_dir is not None
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
             return
-        cache_dir = os.environ.get(
-            "POPSIFT_TPU_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "popsift_tpu_xla"))
-        # XLA:CPU caches AOT executables whose key does NOT include the
-        # host's machine features: an entry written on one host can
-        # SIGILL/SIGSEGV when deserialised on another (observed: a cache
-        # carried across container hosts crashed mid-test in
-        # jax _cache_read).  Scope the cache to a host fingerprint.
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((ln for ln in f if ln.startswith("flags")), "")
-            import hashlib
-            fp = hashlib.blake2b(flags.encode(),
-                                 digest_size=4).hexdigest()
-        except OSError:
-            fp = "generic"
-        cache_dir = os.path.join(cache_dir, fp)
+        cache_dir = os.environ.get("POPSIFT_TPU_CACHE")
+        if cache_dir is None:
+            cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                     "popsift_tpu_xla")
+            # XLA:CPU caches AOT executables whose key does NOT include
+            # the host's machine features: an entry written on one host
+            # can SIGILL/SIGSEGV when deserialised on another (observed:
+            # a cache carried across container hosts crashed mid-test in
+            # jax _cache_read).  Scope the DEFAULT cache to a host
+            # fingerprint.  An EXPLICIT POPSIFT_TPU_CACHE is used
+            # verbatim — the caller takes responsibility (e.g. bench.py
+            # ships a repo-local cache of TPU executables, which are
+            # device code and host-independent).
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((ln for ln in f
+                                  if ln.startswith("flags")), "")
+                import hashlib
+                fp = hashlib.blake2b(flags.encode(),
+                                     digest_size=4).hexdigest()
+            except OSError:
+                fp = "generic"
+            cache_dir = os.path.join(cache_dir, fp)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

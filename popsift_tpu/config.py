@@ -142,19 +142,21 @@ class Config:
     desc_transfer: str = "u16"
 
     def __post_init__(self) -> None:
-        if self.desc_transfer not in ("f32", "u16", "u8"):
+        if self.desc_transfer not in ("f32", "u16", "u8", "u8p"):
             raise ValueError(
-                "desc_transfer must be one of 'f32', 'u16', 'u8' "
+                "desc_transfer must be one of 'f32', 'u16', 'u8', 'u8p' "
                 f"(got {self.desc_transfer!r})")
 
     def set_desc_transfer(self, mode: str) -> None:
         """Descriptor download precision: 'f32' (exact reference numerics),
-        'u16' (default; absolute error <= 2^norm_multiplier/131070), or
+        'u16' (default; absolute error <= 2^norm_multiplier/131070),
         'u8' (the precision of the reference's own uchar output,
-        features.cu:319-323)."""
-        if mode not in ("f32", "u16", "u8"):
+        features.cu:319-323), or 'u8p' (u8 values, zero entries — ~35%
+        on natural content — compacted out on device behind a zero
+        bitmap and restored host-side; same numbers as 'u8')."""
+        if mode not in ("f32", "u16", "u8", "u8p"):
             raise ValueError(
-                "desc_transfer must be one of 'f32', 'u16', 'u8' "
+                "desc_transfer must be one of 'f32', 'u16', 'u8', 'u8p' "
                 f"(got {mode!r})")
         self.desc_transfer = mode
 

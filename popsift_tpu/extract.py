@@ -168,7 +168,7 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
     if plan.desc_mode == DescMode.LOOP:
         return ops_desc.loop_descriptors(
             field, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
-            plan.desc_win)
+            plan.desc_win, stack=stack)
     # sampling modes (iloop / grid / igrid / notile): on TPU each slot
     # reads a per-slot rolled window fetched by the window-DMA kernel
     # (whole-plane gathers per slot are the slowest XLA lowering on
@@ -245,7 +245,7 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
 
         num_ori, orientations = ops_ori.assign_orientations(
             field, pad_y, pad_x, ext.xpos, ext.ypos, ext.lpos, ext.sigma,
-            ext.valid, w, h, plan.ori_win)
+            ext.valid, w, h, plan.ori_win, stack=stack)
 
         nums = jnp.where(ext.valid, num_ori, 0)
         incl = jnp.cumsum(nums)

@@ -66,7 +66,7 @@ def _tile_offsets() -> np.ndarray:
 def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
                      xpos, ypos, lpos, sigma, ang, valid,
                      w: int, h: int, win: int,
-                     chunk: int = 64) -> jnp.ndarray:
+                     chunk: int = 64, stack=None) -> jnp.ndarray:
     """Loop-mode descriptors for a batch of (keypoint, orientation) slots.
 
     both : (2L, H+2*pad_y, W+2*pad_x) padded [mag; theta] field of the
@@ -76,6 +76,27 @@ def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
     (matching the reference's ``tile = ((iy*4+ix)*8)`` layout,
     s_desc_loop.cu:29).
     """
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and win <= 120:
+        # ONE fused Pallas kernel: window DMA + trilinear 4x4x8 binning
+        # in VMEM (kernels/binwin.py — the shape of the reference's
+        # s_desc_loop.cu:18-139, which also reads and bins in one
+        # kernel).  With the raw blurred ``stack`` supplied and a big
+        # enough octave, gradients are computed in-kernel too
+        # (s_gradiant.h:55-69) and the dense field feeding ``both``
+        # dead-code-eliminates.  The XLA chunked form below is the
+        # numerically-identical fallback.
+        from ..kernels.binwin import (desc_loop_fused, desc_loop_stack,
+                                      stack_kernel_ok)
+        if stack is not None and stack_kernel_ok(stack.shape, win):
+            return desc_loop_stack(stack, xpos, ypos, lpos, sigma, ang,
+                                   valid, w, h, win,
+                                   magnify=DESC_MAGNIFY)
+        if pad_x >= 256:
+            return desc_loop_fused(both, xpos, ypos, lpos, sigma, ang,
+                                   valid, w, h, win, pad_y, pad_x,
+                                   magnify=DESC_MAGNIFY)
+
     from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
 
     win_y, win_x = rolled_window_dims(win)
@@ -198,7 +219,7 @@ def loop_descriptors_classed(both: jnp.ndarray, pad_y: int, pad_x: int,
                              xpos, ypos, lpos, sigma, ang, valid,
                              w: int, h: int,
                              classes: list[tuple[int, int]],
-                             chunk: int = 64):
+                             chunk: int = 64, stack=None):
     """:func:`loop_descriptors` with sigma-classed window sizes.
 
     ``classes``: [(win, size), ...] in DESCENDING window order with sizes
@@ -230,7 +251,7 @@ def loop_descriptors_classed(both: jnp.ndarray, pad_y: int, pad_x: int,
         if size_r:
             outs.append(loop_descriptors(
                 both, pad_y, pad_x, xs[sl], ys[sl], ls[sl], ss[sl],
-                as_[sl], vs[sl], w, h, win_r, chunk=chunk))
+                as_[sl], vs[sl], w, h, win_r, chunk=chunk, stack=stack))
             viol = viol + jnp.sum(
                 (req_s[sl] > win_r).astype(jnp.int32))
         start += size_r

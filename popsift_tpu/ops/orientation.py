@@ -138,8 +138,26 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
 
 def _hist_chunked(bothp, xpos, ypos, lpos, sigma, valid,
                   w: int, h: int, win: int, pad_y: int, pad_x: int,
-                  n_levels: int, chunk: int) -> jnp.ndarray:
-    """Chunked-histogram wrapper: (cap,) slot arrays -> (cap, 36)."""
+                  n_levels: int, chunk: int, stack=None) -> jnp.ndarray:
+    """Chunked-histogram wrapper: (cap,) slot arrays -> (cap, 36).
+
+    On TPU the whole stage is ONE fused Pallas kernel (window DMA +
+    binning in VMEM, kernels/binwin.py — the shape of the reference's
+    ori_par, s_orientation.cu:104-162).  When the raw blurred ``stack``
+    is supplied and the octave is big enough, gradients are computed
+    in-kernel too (s_gradiant.h:55-69) and the dense [mag; theta] field
+    feeding ``bothp`` dead-code-eliminates from the fused program.  The
+    XLA chunked form below is the numerically-identical fallback."""
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and win <= 120:
+        from ..kernels.binwin import (ori_hist_fused, ori_hist_stack,
+                                      stack_kernel_ok)
+        if stack is not None and stack_kernel_ok(stack.shape, win):
+            return ori_hist_stack(stack, xpos, ypos, lpos, sigma, valid,
+                                  w, h, win)
+        if pad_x >= 256:
+            return ori_hist_fused(bothp, xpos, ypos, lpos, sigma, valid,
+                                  w, h, win, pad_y, pad_x)
     cap = xpos.shape[0]
     chunk = min(chunk, max(cap, 1))
     n_chunks = -(-cap // chunk) if cap else 0
@@ -168,7 +186,7 @@ def assign_orientations_classed(bothp: jnp.ndarray, pad_y: int, pad_x: int,
                                 w: int, h: int,
                                 classes: list[tuple[int, int]],
                                 max_count: int = ORIENTATION_MAX_COUNT,
-                                chunk: int = 256):
+                                chunk: int = 256, stack=None):
     """:func:`assign_orientations` with sigma-classed window sizes.
 
     ``classes``: [(win, size), ...] in DESCENDING window order with sizes
@@ -201,7 +219,8 @@ def assign_orientations_classed(bothp: jnp.ndarray, pad_y: int, pad_x: int,
         if size_r:
             hists.append(_hist_chunked(
                 bothp, xs[sl], ys[sl], ls[sl], ss[sl], vs[sl],
-                w, h, win_r, pad_y, pad_x, n_levels, chunk))
+                w, h, win_r, pad_y, pad_x, n_levels, chunk,
+                stack=stack))
             viol = viol + jnp.sum(
                 (req_s[sl] > win_r).astype(jnp.int32))
         start += size_r
@@ -218,7 +237,7 @@ def assign_orientations(bothp: jnp.ndarray, pad_y: int, pad_x: int,
                         valid: jnp.ndarray,
                         w: int, h: int, win: int,
                         max_count: int = ORIENTATION_MAX_COUNT,
-                        chunk: int = 256):
+                        chunk: int = 256, stack=None):
     """Compute up to ``max_count`` orientations per extremum slot.
 
     bothp : (2L, H+2*pad_y, W+2*pad_x) padded [mag; theta] field of this
@@ -230,7 +249,8 @@ def assign_orientations(bothp: jnp.ndarray, pad_y: int, pad_x: int,
     """
     n_levels = bothp.shape[0] // 2
     hist = _hist_chunked(bothp, xpos, ypos, lpos, sigma, valid,
-                         w, h, win, pad_y, pad_x, n_levels, chunk)
+                         w, h, win, pad_y, pad_x, n_levels, chunk,
+                         stack=stack)
     return _peaks_from_hist(hist, valid, max_count)
 
 

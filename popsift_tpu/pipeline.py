@@ -23,52 +23,18 @@ asymmetry as a bug worth fixing).
 from __future__ import annotations
 
 import enum
-import os
 import queue
 import threading
-import time
 from concurrent.futures import Future
 
 import numpy as np
 
-# POPSIFT_TPU_HOSTTRACE=1: record per-job host-pipeline timestamps and
-# print a stage summary at uninit (the NVTX-range analog for the host
-# threads; device-side tracing lives in popsift_tpu.tracing).
-_HOSTTRACE = os.environ.get("POPSIFT_TPU_HOSTTRACE", "") not in ("", "0")
-_trace_events: list = []
-
-
-def _tr(tag: str, key, **kw) -> None:
-    if _HOSTTRACE:
-        _trace_events.append((time.time(), tag, key, kw))
-
-
-def _trace_summary() -> None:  # pragma: no cover - diagnostic only
-    if not _HOSTTRACE or not _trace_events:
-        return
-    import collections
-    ev = sorted(_trace_events)
-    _trace_events.clear()
-    spans = collections.defaultdict(list)
-    open_at = {}
-    for t, tag, key, kw in ev:
-        if tag.endswith(".start"):
-            open_at[(tag[:-6], key)] = t
-        elif tag.endswith(".end"):
-            t0 = open_at.pop((tag[:-4], key), None)
-            if t0 is not None:
-                spans[tag[:-4]].append((t - t0) * 1e3)
-        if kw:
-            spans.setdefault(f"#{tag}", []).append(
-                next(iter(kw.values())))
-    import sys
-    print("# host trace:", file=sys.stderr)
-    for name in sorted(spans):
-        v = np.asarray(spans[name], dtype=np.float64)
-        print(f"#   {name:22s} n={v.size:4d} mean={v.mean():8.2f} "
-              f"p50={np.percentile(v, 50):8.2f} "
-              f"p95={np.percentile(v, 95):8.2f} sum={v.sum():9.1f}",
-              file=sys.stderr)
+# POPSIFT_TPU_HOSTTRACE=1: per-job host-pipeline timestamps + stage
+# summary at uninit (the NVTX-range analog for the host threads); the
+# event recorder lives in popsift_tpu.tracing so the staged extractor can
+# emit compile/fallback events into the same stream.
+from .tracing import host_trace as _tr
+from .tracing import host_trace_summary as _trace_summary
 
 from .config import Config, ImageMode, LogMode, ProcessingMode
 from .extract import get_extractor, normalize_input
@@ -409,12 +375,15 @@ class PopSift:
             return
         try:
             ex = get_staged_extractor(job._config, job._w, job._h)
-            pending = ex.extract_dispatch(job.get_img())
+            # a lone job rides the (padded) batch program too: the batch
+            # program is the only fused program the pipeline compiles
+            pending = ex.extract_dispatch_batch([job.get_img()])
             if pending is None:
+                # no bucket key yet: first frame bootstraps synchronously
                 feats = ex.extract_features(job.get_img())
                 self._finish_job(job, feats)
             else:
-                self._queue_download.put(("single", job, ex, pending))
+                self._queue_download.put(("batch", [job], ex, pending))
         except BaseException as e:  # noqa: BLE001
             self._fail_job(job, e)
 
@@ -457,7 +426,10 @@ class PopSift:
                     else:
                         others.append(nxt)
                         break
-            if len(batch) == ex.BATCH:
+            if ex._last_key5 is not None:
+                # short batches are padded inside extract_dispatch_batch
+                # (one program shape = one compile; a straggler-sized
+                # program would cost a whole extra XLA compile)
                 try:
                     _tr("dispatch_batch.start", id(batch[0]))
                     pending = ex.extract_dispatch_batch(

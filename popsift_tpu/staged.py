@@ -63,7 +63,9 @@ class StagedExtractor:
     """Compiled staged extraction for one (config, W, H) bucket."""
 
     def __init__(self, config: Config, width: int, height: int) -> None:
+        import threading
         self.config = config
+        self._wh = (width, height)
         self.plan: ExtractorPlan = make_plan(config, width, height)
         self.gauss = build_gauss_info(config)
         self.consts = build_const_info(config)
@@ -76,16 +78,36 @@ class StagedExtractor:
         self._fused_packed_batch = {}
         self._last_buckets = None
         self._last_key5 = None
+        # serialises first-frame key establishment across pipeline workers
+        # (without it, N workers racing on frame 1 each derive their own
+        # bucket key and compile N distinct fused programs)
+        self._init_lock = threading.Lock()
+        self._frames_seen = 0
         # sigma-classed windows: on for the optimistic program; a streak
         # of window violations (heavy-tail sigma content, e.g. heavily
         # blurred streams) turns it off for this extractor so frames stop
-        # paying classed-run-then-exact-redo twice
+        # paying classed-run-then-exact-redo twice.  After
+        # _class_probation clean frames the classed program is re-tried
+        # once (only when it is still in the jit cache, so probation is
+        # compile-free); another violation re-disables with 4x backoff.
         self._classes_enabled = True
         self._class_viol_streak = 0
+        self._frames_since_disable = 0
+        self._class_probation = 64
+        self._class_probation_active = False
         # recent actual descriptor totals, for the count-adaptive prefix
-        # fetch of the flat transfer buffer (desc section is last)
+        # fetch of the flat transfer buffer (desc section is last).
+        # The deque is mutated ONLY on the collect/download thread
+        # (_update_buckets); the dispatch thread reads the precomputed
+        # _recent_ori_max int instead (CPython attribute reads/writes are
+        # atomic) — iterating the deque cross-thread raises "deque mutated
+        # during iteration".
         self._recent_ori_totals: collections.deque = collections.deque(
             maxlen=8)
+        self._recent_ori_max: int | None = None
+        # recent nonzero-byte totals of the u8p-packed desc section
+        self._recent_nz: collections.deque = collections.deque(maxlen=8)
+        self._recent_nz_max: int | None = None
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
@@ -170,7 +192,8 @@ class StagedExtractor:
         overflows = jnp.stack([e.overflow for e in exts])
         return exts, counts, overflows
 
-    def _stage2_body(self, grads, exts, ks, classed: bool = False):
+    def _stage2_body(self, grads, stacks, exts, ks,
+                     classed: bool = False):
         """``classed=True`` (the optimistic fused path only) processes
         sigma-sorted slots at class-sized windows and accumulates a
         violation count the fused program's validation readback checks;
@@ -196,13 +219,14 @@ class StagedExtractor:
             if classes is not None:
                 num_ori, oris, v = ops_ori.assign_orientations_classed(
                     grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k],
-                    e.lpos[:k], e.sigma[:k], e.valid[:k], w, h, classes)
+                    e.lpos[:k], e.sigma[:k], e.valid[:k], w, h, classes,
+                    stack=stacks[o])
                 viol = viol + v
             else:
                 num_ori, oris = ops_ori.assign_orientations(
                     grads[o], pad_y, pad_x, e.xpos[:k], e.ypos[:k],
                     e.lpos[:k], e.sigma[:k], e.valid[:k], w, h,
-                    plan.ori_win)
+                    plan.ori_win, stack=stacks[o])
             nums = jnp.where(e.valid[:k], num_ori, 0)
             incl = jnp.cumsum(nums)
             outs.append((nums, oris, incl))
@@ -212,6 +236,39 @@ class StagedExtractor:
     # minimum slot capacity for the sigma-classed window split (below
     # this the per-region chunk padding dominates); tests lower it
     CLASS_MIN_CAP = 512
+
+    def _note_frame_classes(self, win_viol: int, key: tuple) -> None:
+        """Sigma-classed-window state machine, one call per frame.
+
+        Violations (heavy-tail sigma content, e.g. heavily blurred
+        streams) in a 3-frame streak disable the classed windows for this
+        extractor so frames stop paying classed-run-then-exact-redo
+        twice.  After ``_class_probation`` clean frames the classed
+        program is re-tried once — only when it is still in the jit
+        cache at the current key, so probation never costs a compile; a
+        violation during probation re-disables immediately (streak seeds
+        at 2) and backs the probation interval off 4x (cap 4096)."""
+        if win_viol > 0:
+            self._class_viol_streak += 1
+            if self._class_viol_streak >= 3 and self._classes_enabled:
+                self._classes_enabled = False
+                self._frames_since_disable = 0
+                if self._class_probation_active:
+                    self._class_probation = min(
+                        self._class_probation * 4, 4096)
+                self._class_probation_active = False
+        else:
+            self._class_viol_streak = 0
+            if self._classes_enabled:
+                self._class_probation_active = False
+            else:
+                self._frames_since_disable += 1
+                if (self._frames_since_disable >= self._class_probation
+                        and ((key, True) in self._fused_packed_batch
+                             or (key, True) in self._fused_packed)):
+                    self._classes_enabled = True
+                    self._class_viol_streak = 2
+                    self._class_probation_active = True
 
     def _stage3_body(self, grads, stacks, exts, oris, ks, bs,
                      classed: bool = False):
@@ -255,7 +312,7 @@ class StagedExtractor:
             if classes is not None:
                 d, v = ops_desc.loop_descriptors_classed(
                     grads[o], pad_y, pad_x, ex, ey, el, es, ang, ovalid,
-                    w, h, classes)
+                    w, h, classes, stack=stacks[o])
                 viol = viol + v
             else:
                 d = _dispatch_descriptors(
@@ -283,7 +340,7 @@ class StagedExtractor:
             bound = 2.0 ** self.plan.norm_multi
             q = jnp.round(jnp.clip(d, 0.0, bound) * (65535.0 / bound))
             return q.astype(jnp.uint16)
-        if self.config.desc_transfer == "u8":
+        if self.config.desc_transfer in ("u8", "u8p"):
             bound = 2.0 ** self.plan.norm_multi
             q = jnp.round(jnp.clip(d, 0.0, bound) * (255.0 / bound))
             return q.astype(jnp.uint8)
@@ -326,7 +383,8 @@ class StagedExtractor:
         # placeholder descriptor dtype must follow the configured transfer
         # precision so the flat buffer's length always equals
         # _flat_layout()['_total'], even when a bucket is 0
-        desc_dtype = {"u16": jnp.uint16, "u8": jnp.uint8}.get(
+        desc_dtype = {"u16": jnp.uint16, "u8": jnp.uint8,
+                      "u8p": jnp.uint8}.get(
             self.config.desc_transfer, jnp.float32)
 
         parts = [o for o in range(plan.octaves) if ks[o] > 0]
@@ -416,8 +474,8 @@ class StagedExtractor:
         fn = self._stage2.get(ks)
         if fn is None:
             # exact path: max windows, always correct (no sigma classes)
-            fn = jax.jit(lambda grads, exts:
-                         self._stage2_body(grads, exts, ks)[:2])
+            fn = jax.jit(lambda grads, stacks, exts:
+                         self._stage2_body(grads, stacks, exts, ks)[:2])
             self._stage2[ks] = fn
         return fn
 
@@ -444,7 +502,7 @@ class StagedExtractor:
                 exts, counts, overflows = self._stage1b_body(
                     s1["dogs"], s1["cands"], cks)
                 oris, ori_counts, _ = self._stage2_body(
-                    s1["grads"], exts, ks)
+                    s1["grads"], s1["stacks"], exts, ks)
                 descs, _, _ = self._stage3_body(
                     s1["grads"], s1["stacks"], exts, oris, ks, bs)
                 return dict(
@@ -468,7 +526,7 @@ class StagedExtractor:
         cks, ks, bs, ft, bt = key
         O = self.plan.octaves
         FT, BT = max(ft, 1), max(bt, 1)
-        desc_words = BT * {"u16": 64, "u8": 32}.get(
+        desc_words = BT * {"u16": 64, "u8": 32, "u8p": 32}.get(
             self.config.desc_transfer, 128)
         # num_ori (3 bits) and octave (5 bits, MAX_OCTAVES=20) share one
         # byte per feature slot; idx_ori is NOT transferred — it is the
@@ -483,8 +541,17 @@ class StagedExtractor:
                  ("overflows", O), ("totals", 3),
                  ("x", FT), ("y", FT), ("sigma", FT),
                  ("ori_d", BT),
-                 ("no_oct", -(-FT // 4)),
-                 ("desc", desc_words)]
+                 ("no_oct", -(-FT // 4))]
+        if self.config.desc_transfer == "u8p":
+            # zero-compacted u8: a per-entry zero bitmap (decoded
+            # host-side — the DOWNLOAD direction has no XLA-decode
+            # constraint, unlike the upload codec) followed by the
+            # packed nonzero bytes; the desc section stays LAST so the
+            # count-adaptive prefix fetch still applies (now sized by
+            # the recent nonzero-count maximum instead of row count)
+            sizes += [("desc_bitmap", BT * 4), ("desc", desc_words)]
+        else:
+            sizes += [("desc", desc_words)]
         off, layout = 0, {}
         for name, n in sizes:
             layout[name] = (off, off + n)
@@ -492,6 +559,89 @@ class StagedExtractor:
         layout["_total"] = off
         layout["_FT"], layout["_BT"] = FT, BT
         return layout
+
+    def _note_ori_total(self, ori_total: int) -> None:
+        """Record an observed descriptor total (collect thread only)."""
+        self._recent_ori_totals.append(int(ori_total))
+        self._recent_ori_max = max(self._recent_ori_totals)
+
+    def _note_nz(self, nz: int) -> None:
+        """Record an observed packed-descriptor byte count (collect
+        thread only; the dispatch thread reads _recent_nz_max)."""
+        self._recent_nz.append(int(nz))
+        self._recent_nz_max = max(self._recent_nz)
+
+    # ------------------------------------------------------------------
+    # Bucket-key persistence: the settled key per (config, size) is saved
+    # next to the XLA persistent cache, so a NEW PROCESS adopts it
+    # directly — its batch program is then a persistent-cache hit and the
+    # cold-start path (stage1a + seed program compile) is skipped
+    # entirely.  The analog of the reference shipping compiled fatbins:
+    # the expensive part of startup becomes a deserialisation.
+    def _saved_key_id(self) -> str:
+        return repr((self.config.static_key(), self._wh))
+
+    @staticmethod
+    def _keys_cache_path():
+        import os
+        try:
+            d = jax.config.jax_compilation_cache_dir
+        except Exception:
+            return None
+        if not d:
+            return None
+        return os.path.join(d, "popsift_bucket_keys.json")
+
+    def _load_saved_key(self):
+        import json
+        path = self._keys_cache_path()
+        if path is None:
+            return None
+        try:
+            with open(path) as f:
+                entry = json.load(f).get(self._saved_key_id())
+        except (OSError, ValueError):
+            return None
+        if not entry:
+            return None
+        try:
+            cks, ks, bs, ft, bt = entry
+            O = self.plan.octaves
+            if not (len(cks) == len(ks) == len(bs) == O):
+                return None
+            key = (tuple(int(v) for v in cks), tuple(int(v) for v in ks),
+                   tuple(int(v) for v in bs), int(ft), int(bt))
+            for o in range(O):
+                if not (0 <= key[0][o] <= self.plan.cand_caps[o]
+                        and 0 <= key[1][o] <= self.plan.ext_caps[o]
+                        and 0 <= key[2][o] <= self.plan.ori_caps[o]):
+                    return None
+            if not (0 < key[3] <= sum(key[1]) and 0 < key[4]
+                    <= max(sum(key[2]), 1)):
+                return None
+            return key
+        except (TypeError, ValueError):
+            return None
+
+    def _save_key(self) -> None:
+        import json
+        import os
+        path = self._keys_cache_path()
+        if path is None or self._last_key5 is None:
+            return
+        try:
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                data = {}
+            data[self._saved_key_id()] = self._last_key5
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass
 
     # prefix-fetch quantum (u32 words; 64 KiB) — coarse so the tiny
     # device-side slice programs stay few and cached
@@ -508,12 +658,24 @@ class StagedExtractor:
         A frame whose actual counts exceed the prefix is refetched in
         full by :meth:`extract_collect` — the same optimistic-validation
         pattern as the bucket system."""
-        if not self._recent_ori_totals:
-            return None
         lay = self._flat_layout(key)
         a, b = lay["desc"]
         bt_rows = lay["_BT"]
-        est_rows = int(max(self._recent_ori_totals) * 1.125) + 8
+        if self.config.desc_transfer == "u8p":
+            # packed desc: prefix sized by the recent nonzero-BYTE max
+            # (the bitmap section sits before ``a`` and is always fully
+            # inside the prefix)
+            nz_max = self._recent_nz_max
+            if nz_max is None:
+                return None
+            est_words = (int(nz_max * 1.25) + 256) // 4
+            need = a + est_words
+            need = -(-need // self.WIRE_GRAN) * self.WIRE_GRAN
+            return need if need < lay["_total"] else None
+        recent_max = self._recent_ori_max
+        if recent_max is None:
+            return None
+        est_rows = int(recent_max * 1.125) + 8
         if est_rows >= bt_rows:
             return None
         wpr = (b - a) // bt_rows  # words per descriptor row
@@ -546,7 +708,7 @@ class StagedExtractor:
         # violation count rides the flat buffer and is validated with
         # the bucket counts (violation -> exact max-window redo)
         oris, ori_counts, viol2 = self._stage2_body(
-            s1["grads"], exts, ks, classed=classed)
+            s1["grads"], s1["stacks"], exts, ks, classed=classed)
         descs, angds, viol3 = self._stage3_body(
             s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=classed)
         p = self._finalize_body(exts, oris, descs, angds, ks, bs, ft, bt)
@@ -556,6 +718,10 @@ class StagedExtractor:
         pad4 = -(-no_oct.shape[0] // 4) * 4 - no_oct.shape[0]
         if pad4:
             no_oct = jnp.pad(no_oct, (0, pad4))
+        if self.config.desc_transfer == "u8p":
+            desc_sections = self._pack_desc_u8p(p["desc"])
+        else:
+            desc_sections = [u(p["desc"])]
         flat = jnp.concatenate([
             u(s1["cand_counts"]), u(counts), u(ori_counts),
             u(overflows),
@@ -563,15 +729,57 @@ class StagedExtractor:
                          viol2 + viol3])),
             u(p["x"]), u(p["y"]), u(p["sigma"]),
             u(p["ori_d"]),
-            u(no_oct),
-            u(p["desc"])])
+            u(no_oct)] + desc_sections)
         return flat, dev_desc
 
-    def _get_fused_packed(self, key: tuple):
+    def _pack_desc_u8p(self, desc):
+        """Device-side zero-compaction of the (BT, 128) u8 descriptor
+        section: a 1-bit-per-entry zero bitmap plus the nonzero bytes
+        scattered to the front of the section.  ~35% of normalised u8
+        descriptor entries are zero on natural content, and the download
+        direction is host-decoded, so the encode only has to be
+        XLA-cheap (one cumsum + one scatter) — the decode
+        (_decode_flat) restores exact u8 values, so 'u8p' is bit-lossless
+        vs 'u8'."""
+        flags = (desc != 0).reshape(-1)
+        f32v = flags.reshape(-1, 32).astype(jnp.uint32)
+        bits = jnp.sum(
+            f32v << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+            dtype=jnp.uint32)
+        idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        n = flags.shape[0]
+        packed = jnp.zeros((n + 4,), jnp.uint8).at[
+            jnp.where(flags, idx, n)].set(desc.reshape(-1))
+        return [bits, self._as_u32(packed[:n])]
+
+    @staticmethod
+    def _timed_first(fn, label: str):
+        """Wrap a jitted callable so its first invocation (= the compile,
+        jit compiles synchronously at first dispatch) is recorded as a
+        ``compile`` span in the host trace (POPSIFT_TPU_HOSTTRACE=1)."""
+        from .tracing import HOSTTRACE, host_trace
+        if not HOSTTRACE:
+            return fn
+        state = {"first": True}
+
+        def wrapper(*a, **k):
+            if state["first"]:
+                state["first"] = False
+                host_trace("compile.start", label)
+                out = fn(*a, **k)
+                host_trace("compile.end", label)
+                host_trace("compile_program", label, label=label)
+                return out
+            return fn(*a, **k)
+
+        return wrapper
+
+    def _get_fused_packed(self, key: tuple, classed: bool | None = None):
         """Stage1a..finalize in ONE jitted program for a known bucket
         5-tuple (cks, ks, bs, ft, bt): one dispatch, one single-array
         readback (see _flat_layout)."""
-        classed = self._classes_enabled
+        if classed is None:
+            classed = self._classes_enabled
         fn = self._fused_packed.get((key, classed))
         if fn is None:
             def fused(image):
@@ -579,7 +787,8 @@ class StagedExtractor:
                     image, key, classed=classed)
                 return dict(flat=flat, dev_desc=dev_desc)
 
-            fn = jax.jit(fused)
+            fn = self._timed_first(jax.jit(fused),
+                                   f"fused1[{classed}]{key}")
             self._fused_packed[(key, classed)] = fn
         return fn
 
@@ -589,41 +798,59 @@ class StagedExtractor:
     # paid once per batch).  One size only, to bound compile count.
     BATCH = 4
 
-    def _get_fused_packed_batch(self, key: tuple):
-        classed = self._classes_enabled
+    def _get_fused_packed_batch(self, key: tuple,
+                                classed: bool | None = None):
+        if classed is None:
+            classed = self._classes_enabled
         fn = self._fused_packed_batch.get((key, classed))
         if fn is None:
-            B = self.BATCH
-
             def fused(*images):
-                outs = [self._fused_packed_image(images[i], key,
-                                                 classed=classed)
-                        for i in range(B)]
-                return dict(flat=jnp.stack([o[0] for o in outs]),
-                            dev_desc=jnp.stack([o[1] for o in outs]))
+                # lax.scan over the batch: the per-image body is traced
+                # and compiled ONCE (an unrolled 4-image body compiled in
+                # 197 s vs 67 s for the single-image program on the
+                # 1-core bench host; the scan form compiles like the
+                # single program).  Execution is serialised across the
+                # batch — which it effectively was anyway on one chip.
+                def body(_, img):
+                    flat, dev_desc = self._fused_packed_image(
+                        img, key, classed=classed)
+                    return None, (flat, dev_desc)
 
-            fn = jax.jit(fused)
+                _, (flats, descs) = jax.lax.scan(
+                    body, None, jnp.stack(images))
+                return dict(flat=flats, dev_desc=descs)
+
+            fn = self._timed_first(jax.jit(fused),
+                                   f"fusedB[{classed}]{key}")
             self._fused_packed_batch[(key, classed)] = fn
         return fn
 
     def extract_dispatch_batch(self, images):
-        """Dispatch one fused program over BATCH images (async).  Returns
+        """Dispatch one fused program over up to BATCH images (async).
+        Short batches are padded by repeating the last image (decode
+        ignores the padding rows) — one program shape means one compile;
+        a dedicated straggler program would be a whole extra XLA compile
+        for at most (BATCH-1)/BATCH of one batch's device time.  Returns
         a pending handle for :meth:`extract_collect_batch`, or None when
-        no bucket key exists yet or len(images) != BATCH."""
+        no bucket key exists yet or the batch is empty/oversized."""
         key = self._last_key5
-        if key is None or len(images) != self.BATCH:
+        if key is None or not images or len(images) > self.BATCH:
             return None
-        out = self._get_fused_packed_batch(key)(*images)
+        padded = list(images) + [images[-1]] * (self.BATCH - len(images))
+        out = self._get_fused_packed_batch(key)(*padded)
         n = self.wire_prefix_words(key)
+        flat = (out["flat"] if len(images) == self.BATCH
+                else out["flat"][:len(images)])
         return (key, dict(
-            flat=out["flat"][:, :n] if n else out["flat"],
-            flat_full=out["flat"] if n else None,
+            flat=flat[:, :n] if n else flat,
+            flat_full=flat if n else None,
             dev_desc=out["dev_desc"]))
 
     def extract_collect_batch(self, images, pending, flats: np.ndarray,
                               want_dev: bool = False):
-        """Decode a fetched (BATCH, words) buffer into one Features per
-        image (per-image validation; exact-path fallback per image)."""
+        """Decode a fetched (len(images), words) buffer into one Features
+        per image (per-image validation; fused-regrow fallback per
+        image)."""
         key, out = pending
         ff = out.get("flat_full")
         return [self.extract_collect(
@@ -632,7 +859,7 @@ class StagedExtractor:
                                              else (ff, i)),
                                   dev_desc=out["dev_desc"][i])),
             flats[i], want_dev)
-            for i in range(self.BATCH)]
+            for i in range(len(images))]
 
     def _decode_flat(self, flat: np.ndarray, key: tuple) -> dict:
         """Numpy views into the fetched flat buffer (zero-copy)."""
@@ -644,15 +871,33 @@ class StagedExtractor:
             return flat[a:b].view(dt)
 
         totals = sl("totals", np.int32)
-        desc_dt = {"u16": np.uint16, "u8": np.uint8}.get(
+        desc_dt = {"u16": np.uint16, "u8": np.uint8,
+                   "u8p": np.uint8}.get(
             self.config.desc_transfer, np.float32)
         # desc is the last section and may be prefix-fetched: decode the
         # rows that arrived (the collect path validates sufficiency
         # against the actual ori_total and refetches when short)
         a, b = lay["desc"]
-        avail = flat[a:min(b, flat.size)].view(desc_dt)
-        rows_avail = avail.size // 128
-        desc = avail[:rows_avail * 128].reshape(rows_avail, 128)
+        nz_prefix = None
+        if self.config.desc_transfer == "u8p":
+            # zero-bitmap + packed nonzeros: rebuild exact u8 rows for
+            # as many FULL rows as the fetched packed bytes cover
+            bm = sl("desc_bitmap", np.uint8)
+            flags = np.unpackbits(bm, bitorder="little")[:BT * 128]
+            nzpr = flags.reshape(BT, 128).sum(axis=1).cumsum()
+            packed = flat[a:min(b, flat.size)].view(np.uint8)
+            rows_avail = int(np.searchsorted(nzpr, packed.size,
+                                             side="right"))
+            out = np.zeros(rows_avail * 128, np.uint8)
+            flr = flags[:rows_avail * 128].astype(bool)
+            need = int(nzpr[rows_avail - 1]) if rows_avail else 0
+            out[flr] = packed[:need]
+            desc = out.reshape(rows_avail, 128)
+            nz_prefix = nzpr
+        else:
+            avail = flat[a:min(b, flat.size)].view(desc_dt)
+            rows_avail = avail.size // 128
+            desc = avail[:rows_avail * 128].reshape(rows_avail, 128)
         no_oct = sl("no_oct", np.uint8)[:FT]
         num_ori = (no_oct & 7).astype(np.int32)
         idx_ori = np.zeros(FT, np.int32)
@@ -670,7 +915,7 @@ class StagedExtractor:
             num_ori=num_ori,
             idx_ori=idx_ori,
             octave=(no_oct >> 3).astype(np.int32),
-            desc=desc)
+            desc=desc, nz_prefix=nz_prefix)
 
     def _dequantize_descs_dev(self, d):
         bound = 2.0 ** self.plan.norm_multi
@@ -682,45 +927,25 @@ class StagedExtractor:
 
     # ------------------------------------------------------------------
     def extract_dispatch(self, image):
-        """Dispatch the packed fused program without waiting (async).
-
-        Returns an opaque pending handle for :meth:`extract_collect`, or
-        None when no bucket key is established yet (first image) — then
-        the caller must run :meth:`extract_features` synchronously.
-        Splitting dispatch from collection lets the host pipeline batch
-        many images' flat-buffer fetches into ONE device_get round trip
-        (the per-fetch network RTT of a remotely-attached TPU is the
-        throughput ceiling once compute and payload are optimised)."""
-        key = self._last_key5
-        if key is None:
-            return None
-        out = self._get_fused_packed(key)(image)
-        n = self.wire_prefix_words(key)
-        return (key, dict(
-            flat=out["flat"][:n] if n else out["flat"],
-            flat_full=out["flat"] if n else None,
-            dev_desc=out["dev_desc"]))
+        """Dispatch one image without waiting (async); rides the batch
+        program padded to BATCH (ONE fused program family = one compile;
+        see :meth:`extract_dispatch_batch`).  Returns a pending handle for
+        ``extract_collect_batch([image], pending, flats)``, or None when
+        no bucket key is established yet (first image) — then the caller
+        must run :meth:`extract_features` synchronously."""
+        return self.extract_dispatch_batch([image])
 
     def extract_collect(self, image, pending, flat: np.ndarray,
                         want_dev: bool = False):
-        """Validate + decode a fetched flat buffer; exact-path fallback on
-        bucket overflow (needs ``image`` again)."""
+        """Validate + decode a fetched flat buffer; fused-regrow fallback
+        on bucket overflow (needs ``image`` again)."""
         key, out = pending
         cks, ks, bs, ft, bt = key
         t = self._decode_flat(flat, key)
         cand_counts = t["cand_counts"]
         counts = t["counts"]
         ori_counts = t["ori_counts"]
-        if int(t["win_viol"]) > 0:
-            # heavy-tail sigma content: a violation streak disables the
-            # sigma-classed windows for this extractor (the next compile
-            # of the fused program is max-window everywhere) so frames
-            # stop paying classed-run-then-exact-redo twice
-            self._class_viol_streak += 1
-            if self._class_viol_streak >= 3:
-                self._classes_enabled = False
-        else:
-            self._class_viol_streak = 0
+        self._note_frame_classes(int(t["win_viol"]), key)
         ok = (all(int(c) <= cks[o] for o, c in enumerate(cand_counts))
               and all(int(c) <= ks[o] for o, c in enumerate(counts))
               and all(int(c) <= bs[o] for o, c in enumerate(ori_counts))
@@ -730,7 +955,10 @@ class StagedExtractor:
         if ok:
             need_rows = min(int(t["ori_total"]),
                             self._flat_layout(key)["_BT"])
-            if t["desc"].shape[0] < need_rows:
+            # want_dev never reads t['desc'] (descriptors come from
+            # dev_desc), so an under-fetched desc prefix needs no
+            # blocking refetch round trip in that mode
+            if not want_dev and t["desc"].shape[0] < need_rows:
                 # the count-adaptive prefix under-fetched the desc
                 # section (count jump): one full refetch, rare by
                 # construction (estimate = 1.125x recent max)
@@ -740,8 +968,160 @@ class StagedExtractor:
                 full = ff[0][ff[1]] if isinstance(ff, tuple) else ff
                 t = self._decode_flat(np.asarray(full), key)
             self._update_buckets(cand_counts, counts, ori_counts)
+            if t.get("nz_prefix") is not None and need_rows:
+                self._note_nz(int(t["nz_prefix"][need_rows - 1]))
             return self._features_from_packed(t, out["dev_desc"], want_dev)
-        return self._extract_exact(image, want_dev)
+        return self._extract_regrow(image, t, key, want_dev)
+
+    def _extract_regrow(self, image, t, failed_key, want_dev: bool,
+                        depth: int = 0):
+        """Bucket-overflow / window-violation recovery: rebuild the bucket
+        key from the failed frame's observed counts (grown) and re-run the
+        frame through the fused program at the NEW key.
+
+        Unlike the per-stage exact path this compiles exactly ONE program
+        — and it is the program the stream's steady state will keep using
+        (the key is installed as _last_key5 on success).  The per-stage
+        exact path compiled fresh _stage1b/_stage2/_stage3 programs for
+        every new bucket tuple — minutes of XLA on a 1-core host, the
+        round-2 bench's "pass-2 cliff" (BENCH_r02: 5787 ms/image).
+
+        Counts observed downstream of an overflowed stage are lower
+        bounds (the stage ran on truncated slots), so estimates are
+        scaled by each upstream stage's truncation ratio; if the grown
+        key still overflows, the next round doubles the headroom.  After
+        ``_REGROW_MAX`` rounds the per-stage exact path remains as the
+        always-correct backstop."""
+        from .tracing import host_trace
+        if depth >= self._REGROW_MAX:
+            host_trace("exact_fallback", id(self), depth=depth)
+            return self._extract_exact(image, want_dev)
+        plan = self.plan
+        cks0, ks0, bs0, ft0, bt0 = failed_key
+        g = 1.3 * (2.0 ** depth)
+
+        viol_only = (int(t["win_viol"]) > 0
+                     and all(int(c) <= cks0[o]
+                             for o, c in enumerate(t["cand_counts"]))
+                     and all(int(c) <= ks0[o]
+                             for o, c in enumerate(t["counts"]))
+                     and all(int(c) <= bs0[o]
+                             for o, c in enumerate(t["ori_counts"])))
+        if viol_only:
+            # counts fit; only the sigma-classed windows were too small.
+            # Re-run the SAME key with the exact (max-window, non-classed)
+            # program — which is also the program the extractor switches
+            # to permanently after a violation streak.
+            host_trace("viol_redo", id(self))
+            key, classed = failed_key, False
+        else:
+            host_trace("regrow", id(self), depth=depth)
+            cks, ks, bs = [], [], []
+            for o in range(plan.octaves):
+                cand = int(t["cand_counts"][o])     # exact (stage1a runs
+                ext = int(t["counts"][o])           # at full capacity)
+                ori = int(t["ori_counts"][o])
+                fac1 = max(1.0, cand / max(cks0[o], 1))
+                ext_est = ext * fac1
+                fac2 = max(1.0, ext_est / max(ks0[o], 1))
+                ori_est = ori * fac1 * fac2
+
+                def grown(est, cur, cap):
+                    if est <= cur:
+                        return cur
+                    return min(max(bucket(int(est * g) + 1), cur), cap)
+
+                nck = grown(cand, cks0[o], plan.cand_caps[o])
+                nk = grown(ext_est, ks0[o],
+                           min(plan.ext_caps[o], max(nck, 128)))
+                nb = grown(ori_est, bs0[o], plan.ori_caps[o])
+                cks.append(nck)
+                ks.append(nk)
+                bs.append(nb)
+            cks, ks, bs = tuple(cks), tuple(ks), tuple(bs)
+            ft = min(max(ft0, bucket(int(int(t["ext_total"]) * g) + 1)),
+                     sum(ks))
+            bt = min(max(bt0, bucket(int(int(t["ori_total"]) * g) + 1)),
+                     sum(bs))
+            key, classed = (cks, ks, bs, ft, bt), self._classes_enabled
+
+        # the regrown key is run through the BATCH program (padded): it is
+        # the program the stream's steady state needs at this key, so the
+        # recovery compile is never wasted
+        out = self._get_fused_packed_batch(key, classed)(
+            *([image] * self.BATCH))
+        flat = np.asarray(out["flat"][0])
+        t2 = self._decode_flat(flat, key)
+        cks, ks, bs, ft, bt = key
+        ok = (all(int(c) <= cks[o]
+                  for o, c in enumerate(t2["cand_counts"]))
+              and all(int(c) <= ks[o] for o, c in enumerate(t2["counts"]))
+              and all(int(c) <= bs[o]
+                      for o, c in enumerate(t2["ori_counts"]))
+              and int(t2["ext_total"]) <= ft
+              and int(t2["ori_total"]) <= bt
+              and (not classed or int(t2["win_viol"]) == 0))
+        if not ok:
+            return self._extract_regrow(image, t2, key, want_dev,
+                                        depth=depth + 1)
+        if not viol_only:
+            # install the regrown key as the stream's steady state
+            self._last_buckets = (cks, ks, bs)
+            self._last_key5 = key
+            self._update_buckets(t2["cand_counts"], t2["counts"],
+                                 t2["ori_counts"])
+        return self._features_from_packed(t2, out["dev_desc"][0],
+                                          want_dev)
+
+    _REGROW_MAX = 3
+
+    def _establish_and_extract(self, image, want_dev: bool = False):
+        """First-frame bootstrap WITHOUT the per-stage exact path.
+
+        One stage1a run yields the true per-octave candidate counts; a
+        SEED bucket key is built from them (extrema <= candidates always;
+        orientations ~1.05x extrema in practice, so candidates bound them
+        in all but pathological content) and the frame runs through the
+        fused program at the seed key.  Its collect installs the TIGHT
+        steady-state key from the frame's true counts via _update_buckets
+        — so the first frame costs exactly two compiles (stage1a + one
+        seed fused program) instead of the old exact staged flow's 4
+        one-off per-stage compiles whose bucket tuples the steady state
+        never reused.  A wrong seed (orientation-heavy content) is caught
+        by the normal count validation and fixed by one regrow round."""
+        with self._init_lock:
+            if self._last_key5 is None:
+                saved = self._load_saved_key()
+                if saved is not None:
+                    # a previous process settled on a key for this
+                    # (config, size): adopt it — the XLA persistent cache
+                    # then serves the batch program without recompiling,
+                    # and a wrong key (new content regime) is caught by
+                    # count validation + fixed by one regrow round
+                    self._last_buckets = saved[:3]
+                    self._last_key5 = saved
+                else:
+                    plan = self.plan
+                    s1 = self._stage1a(image)
+                    cand = np.asarray(s1["cand_counts"])
+                    cks = tuple(min(bucket(int(c * 1.3) + 1),
+                                    plan.cand_caps[o])
+                                for o, c in enumerate(cand))
+                    ks = tuple(min(cks[o], plan.ext_caps[o])
+                               for o in range(plan.octaves))
+                    bs = tuple(min(ks[o], plan.ori_caps[o])
+                               for o in range(plan.octaves))
+                    seed = (cks, ks, bs, sum(ks), sum(bs))
+                    out = self._get_fused_packed_batch(seed)(
+                        *([image] * self.BATCH))
+                    flat = np.asarray(out["flat"][0])
+                    pending = (seed, dict(flat=flat, flat_full=flat,
+                                          dev_desc=out["dev_desc"][0]))
+                    return self.extract_collect(image, pending, flat,
+                                                want_dev)
+        # key established (saved key, or by another thread while we
+        # waited): run through the normal fast path
+        return self.extract_features(image, want_dev)
 
     def extract_features(self, image, want_dev: bool = False):
         """Extract and return a FeaturesHost (or FeaturesDev) directly.
@@ -750,17 +1130,22 @@ class StagedExtractor:
         single-array readback of globally-packed SoA feature arrays
         (finalisation that the reference does in prep_features + the host
         pin/download, sift_pyramid.cu:250-322, all happens on device).
-        Falls back to the exact staged path on the first image or bucket
-        overflow."""
-        pending = self.extract_dispatch(image)
+        The first image bootstraps the bucket key via
+        :meth:`_establish_and_extract`; bucket overflow recovers via the
+        fused-regrow path."""
+        pending = self.extract_dispatch_batch([image])
         if pending is not None:
-            flat = np.asarray(pending[1]["flat"])
-            return self.extract_collect(image, pending, flat, want_dev)
-        return self._extract_exact(image, want_dev)
+            flats = np.asarray(pending[1]["flat"])
+            return self.extract_collect_batch([image], pending, flats,
+                                              want_dev)[0]
+        return self._establish_and_extract(image, want_dev)
 
     def _extract_exact(self, image, want_dev: bool = False):
         from .features import assemble_features, assemble_features_dev
-        result = self.extract(image)
+        # regrow already proved the optimistic buckets wrong: go straight
+        # to the per-stage exact path (the optimistic fused program would
+        # overflow again and waste its compile)
+        result = self.extract(image, optimistic=False)
         if want_dev:
             return assemble_features_dev(result, self.plan.upscale_factor)
         return assemble_features(result, self.plan.upscale_factor)
@@ -800,7 +1185,7 @@ class StagedExtractor:
                                 t["desc"][:m]))
 
     # ------------------------------------------------------------------
-    def extract(self, image) -> dict[str, Any]:
+    def extract(self, image, optimistic: bool = True) -> dict[str, Any]:
         """Run the staged pipeline.  ``image`` is a (H, W) f32 [0,1] array
         (numpy or device).  Returns the same result pytree layout as
         :func:`popsift_tpu.extract.extract_pipeline`.
@@ -814,7 +1199,7 @@ class StagedExtractor:
         one sync per image."""
         plan = self.plan
 
-        guess = self._last_buckets
+        guess = self._last_buckets if optimistic else None
         if guess is not None:
             # optimistic fast path: ONE dispatch (fused program for the
             # guessed bucket triple), ONE bulk readback
@@ -845,7 +1230,8 @@ class StagedExtractor:
         ks = tuple(min(bucket(int(c)), int(exts[o].valid.shape[0]))
                    for o, c in enumerate(counts))
 
-        oris, ori_counts_dev = self._get_stage2(ks)(s1["grads"], s1["exts"])
+        oris, ori_counts_dev = self._get_stage2(ks)(
+            s1["grads"], s1["stacks"], s1["exts"])
         ori_counts = np.asarray(ori_counts_dev)  # readback 3
         bs = tuple(min(bucket(int(c)), plan.ori_caps[o])
                    for o, c in enumerate(ori_counts))
@@ -895,12 +1281,15 @@ class StagedExtractor:
         ext_total = sum(min(int(c), ks[o]) for o, c in enumerate(counts))
         ori_total = sum(min(int(c), bs[o])
                         for o, c in enumerate(ori_counts))
-        self._recent_ori_totals.append(ori_total)
+        self._note_ori_total(ori_total)
         lf, lb = ((self._last_key5[3], self._last_key5[4])
                   if self._last_key5 else (0, 0))
         ft = min(step(lf, ext_total, sum(plan.ext_caps)), sum(ks))
         bt = min(step(lb, ori_total, sum(plan.ori_caps)), sum(bs))
+        prev = self._last_key5
         self._last_key5 = (cks, ks, bs, ft, bt)
+        if self._last_key5 != prev:
+            self._save_key()
 
     def _package_host(self, host, counts, ori_counts,
                       ks, bs) -> dict[str, Any]:

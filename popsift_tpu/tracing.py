@@ -24,6 +24,46 @@ import time
 
 import jax
 
+# POPSIFT_TPU_HOSTTRACE=1: record host-pipeline timestamps and print a
+# stage summary at PopSift.uninit (the NVTX-range analog for the host
+# threads).  Events are (time, tag, key, kwargs); "<name>.start"/".end"
+# pairs become duration spans, events with kwargs become value series.
+HOSTTRACE = os.environ.get("POPSIFT_TPU_HOSTTRACE", "") not in ("", "0")
+_trace_events: list = []
+
+
+def host_trace(tag: str, key, **kw) -> None:
+    if HOSTTRACE:
+        _trace_events.append((time.time(), tag, key, kw))
+
+
+def host_trace_summary() -> None:  # pragma: no cover - diagnostic only
+    if not HOSTTRACE or not _trace_events:
+        return
+    import collections
+
+    import numpy as np
+    ev = sorted(_trace_events)
+    _trace_events.clear()
+    spans = collections.defaultdict(list)
+    open_at = {}
+    for t, tag, key, kw in ev:
+        if tag.endswith(".start"):
+            open_at[(tag[:-6], key)] = t
+        elif tag.endswith(".end"):
+            t0 = open_at.pop((tag[:-4], key), None)
+            if t0 is not None:
+                spans[tag[:-4]].append((t - t0) * 1e3)
+        if kw:
+            spans.setdefault(f"#{tag}", []).append(next(iter(kw.values())))
+    print("# host trace:", file=sys.stderr)
+    for name in sorted(spans):
+        v = np.asarray(spans[name], dtype=np.float64)
+        print(f"#   {name:22s} n={v.size:4d} mean={v.mean():8.2f} "
+              f"p50={np.percentile(v, 50):8.2f} "
+              f"p95={np.percentile(v, 95):8.2f} sum={v.sum():9.1f}",
+              file=sys.stderr)
+
 
 def scope(name: str):
     """Named scope for pipeline phases (NVTX range analog)."""

@@ -463,3 +463,237 @@ def ref_orientation(layer: np.ndarray, xpos: float, ypos: float,
             chosen -= ORI_NBINS
         angles.append(float(f(M_PI2) * chosen / f(ORI_NBINS) - f(M_PI)))
     return angles
+
+
+# ---------------------------------------------------------------------------
+# descriptors: grid family
+# ---------------------------------------------------------------------------
+
+DESC_MAGNIFY = 3.0
+DESC_BINS = 8
+M_4RPI = 4.0 / M_PI
+
+
+def ref_desc_tables():
+    """desc_gauss (40x40) + desc_tile (16) (sift_constants.cu:34-47)."""
+    f = np.float32
+    dn_step = f(1.0 / 8.0)
+    dn_base = f(0.5) * dn_step - f(20.0) * dn_step
+    gauss = np.empty((40, 40), np.float32)
+    for y in range(40):
+        for x in range(40):
+            dnx = f(dn_base + x * dn_step)
+            dny = f(dn_base + y * dn_step)
+            gauss[y, x] = math.exp(-float(dnx * dnx + dny * dny) / 8.0)
+    tile = np.empty(16, np.float32)
+    for i in range(16):
+        nx = f(-1.0 + 1.0 / 16.0 + i * (1.0 / 8.0))
+        tile[i] = f(1.0) - abs(nx)
+    return gauss, tile
+
+
+def ref_tex_bilinear(layer: np.ndarray, px: float, py: float) -> np.float32:
+    """CUDA linear texture with unnormalized coords + clamp addressing,
+    through readTex's +0.5 (common/assist.h:68-83): continuous pixel
+    coordinates; out-of-range coordinates read the edge texel."""
+    h, w = layer.shape
+    f = np.float32
+    px = min(max(px, 0.0), w - 1.0)
+    py = min(max(py, 0.0), h - 1.0)
+    x0 = int(math.floor(px))
+    y0 = int(math.floor(py))
+    fx = f(px - x0)
+    fy = f(py - y0)
+    x1 = min(x0 + 1, w - 1)
+    y1 = min(y0 + 1, h - 1)
+    top = f(layer[y0, x0] * (1 - fx) + layer[y0, x1] * fx)
+    bot = f(layer[y1, x0] * (1 - fx) + layer[y1, x1] * fx)
+    return f(top * (1 - fy) + bot * fy)
+
+
+def ref_desc_notile(layer: np.ndarray, x: float, y: float, sig: float,
+                    ang: float) -> np.ndarray:
+    """ext_desc_notile_sub (s_desc_notile.cu:31-92): rotated 40x40 sample
+    grid with precomputed Gaussian window + triangle tile weights and
+    rotated-derivative gradients via the linear texture; returns the
+    (128,) descriptor in [ty][tx][bin] order (features[out_y*32 + tx*8 +
+    bin], :91)."""
+    f = np.float32
+    gauss, tile = ref_desc_tables()
+    sbp = abs(f(DESC_MAGNIFY) * f(sig))
+    if sbp == 0.0:
+        return np.zeros(128, np.float32)
+    cos_t = f(math.cos(ang))
+    sin_t = f(math.sin(ang))
+    stepbase = f(-2.5 + 1.0 / 16.0)
+
+    dpt = np.zeros((4, 4, 8), np.float32)
+    for ty in range(4):
+        for tx in range(4):
+            for yd in range(16):
+                newy = (ty << 3) + yd
+                if newy >= 40:
+                    continue
+                for xd in range(16):
+                    newx = (tx << 3) + xd
+                    if newx >= 40:
+                        continue
+                    wgt = f(tile[xd] * tile[yd])
+                    stepx = f(stepbase + newx / 8.0)
+                    stepy = f(stepbase + newy / 8.0)
+                    ptx = f(cos_t * stepx - sin_t * stepy)
+                    pty = f(cos_t * stepy + sin_t * stepx)
+                    sx = f(x + ptx * sbp)
+                    sy = f(y + pty * sbp)
+                    # rotated-derivative gradient (s_gradiant.h:71-87)
+                    dx = f(ref_tex_bilinear(layer, sx + cos_t, sy + sin_t)
+                           - ref_tex_bilinear(layer, sx - cos_t,
+                                              sy - sin_t))
+                    dy = f(ref_tex_bilinear(layer, sx - sin_t, sy + cos_t)
+                           - ref_tex_bilinear(layer, sx + sin_t,
+                                              sy - cos_t))
+                    mod = f(math.hypot(dx, dy))
+                    th = f(math.atan2(dy, dx))
+                    if th < 0.0:
+                        th = f(th + M_PI2)
+                    tth = f(th * M_4RPI)
+                    fo = int(math.floor(tth))
+                    do0 = f(tth - fo)
+                    fo0 = fo & 7
+                    fo1 = (fo0 + 1) & 7
+                    ww = f(gauss[newy, newx] * mod)
+                    dpt[ty, tx, fo0] += f(wgt * (1.0 - do0) * ww)
+                    dpt[ty, tx, fo1] += f(wgt * do0 * ww)
+    return dpt.reshape(128)
+
+
+def ref_desc_grid(layer: np.ndarray, x: float, y: float, sig: float,
+                  ang: float) -> np.ndarray:
+    """ext_desc_grid_sub (s_desc_grid.cu:18-121): per tile a rotated
+    16x16 grid, each sample ROUNDED to the nearest pixel, weights
+    recomputed from the rounded position (skipped when the recomputed
+    triangle weight goes negative, :86), axis-aligned point-texture
+    gradients, angle de-rotated by ang."""
+    f = np.float32
+    h, w = layer.shape
+    sbp = abs(f(DESC_MAGNIFY) * f(sig))
+    if sbp == 0.0:
+        return np.zeros(128, np.float32)
+    cos_t = f(math.cos(ang))
+    sin_t = f(math.sin(ang))
+    csbp = f(cos_t * sbp)
+    ssbp = f(sin_t * sbp)
+
+    def tex_point(px: float, py: float) -> np.float32:
+        # point texture through readTex's +0.5: nearest texel with clamp
+        xi = min(max(int(math.floor(px + 0.5)), 0), w - 1)
+        yi = min(max(int(math.floor(py + 0.5)), 0), h - 1)
+        return f(layer[yi, xi])
+
+    dpt = np.zeros((4, 4, 9), np.float32)
+    for iy in range(4):
+        for ix in range(4):
+            ox = f(ix - 1.5)
+            oy = f(iy - 1.5)
+            ptx = f(csbp * ox - ssbp * oy + x)
+            pty = f(csbp * oy + ssbp * ox + y)
+            for yd in range(16):
+                for xd in range(16):
+                    # lft_dn + (xd+.5)*rgt_stp + (yd+.5)*up_stp
+                    # == cos*u - sin*v, sin*u + cos*v with
+                    # u=(xd+.5)/8-1, v=(yd+.5)/8-1 (s_desc_grid.cu:60-70)
+                    u = f((xd + 0.5) / 8.0 - 1.0)
+                    v = f((yd + 0.5) / 8.0 - 1.0)
+                    pixox = f(cos_t * u - sin_t * v)
+                    pixoy = f(sin_t * u + cos_t * v)
+                    pix_x = f(round(ptx + pixox * sbp) - ptx)
+                    pix_y = f(round(pty + pixoy * sbp) - pty)
+                    pxo_x = f(pix_x / sbp)
+                    pxo_y = f(pix_y / sbp)
+                    sx = f(ptx + pix_x)
+                    sy = f(pty + pix_y)
+                    dx = f(tex_point(sx + 1.0, sy) - tex_point(sx - 1.0,
+                                                               sy))
+                    dy = f(tex_point(sx, sy + 1.0) - tex_point(sx,
+                                                               sy - 1.0))
+                    mod = f(math.hypot(dx, dy))
+                    th = f(math.atan2(dy, dx))
+                    nx = f(cos_t * pxo_x + sin_t * pxo_y)
+                    ny = f(cos_t * pxo_y - sin_t * pxo_x)
+                    dnx = f(nx + ox)
+                    dny = f(ny + oy)
+                    ww = f(math.exp(-float(dnx * dnx + dny * dny) / 8.0))
+                    wx = f(1.0 - abs(nx))
+                    wy = f(1.0 - abs(ny))
+                    if wx < 0.0 or wy < 0.0:
+                        continue
+                    wgt = f(ww * wx * wy * mod)
+                    th = f(th - ang)
+                    if th < 0.0:
+                        th = f(th + M_PI2)
+                    if th >= M_PI2:
+                        th = f(th - M_PI2)
+                    tth = f(th * M_4RPI)
+                    fo0 = int(math.floor(tth))
+                    do0 = f(tth - fo0)
+                    fo = fo0 % DESC_BINS
+                    dpt[iy, ix, fo] += f((1.0 - do0) * wgt)
+                    dpt[iy, ix, fo + 1] += f(do0 * wgt)
+    dpt[:, :, 0] += dpt[:, :, 8]     # dpt[0] += dpt[8] (:110)
+    return dpt[:, :, :8].reshape(128)
+
+
+# ---------------------------------------------------------------------------
+# grid filter (extrema budget)
+# ---------------------------------------------------------------------------
+
+def ref_grid_filter(entries: list[dict], max_extrema: int, grid_size: int,
+                    mode: str) -> list[bool]:
+    """Host-side grid-filter algorithm (s_filtergrid.cu:110-318).
+
+    entries: [{octave, cell, sigma}] in (octave, raster) order — the
+    compact i_ext_dat layout.  mode in {"largest", "smallest"}
+    (RandomScale's within-cell order is explicitly unspecified).
+    Returns a keep flag per entry.
+    """
+    n = len(entries)
+    slots = grid_size * grid_size
+    order = list(range(n))
+    # FunctionExtractCell: (cell, sigma * 2^octave) (s_filtergrid.cu:56-71)
+    keyf = [(entries[i]["cell"],
+             np.float32(entries[i]["sigma"]
+                        * np.float32(2.0) ** entries[i]["octave"]))
+            for i in range(n)]
+    if mode == "largest":
+        order.sort(key=lambda i: (keyf[i][0], -keyf[i][1]))
+    else:
+        order.sort(key=lambda i: (keyf[i][0], keyf[i][1]))
+
+    cell_counts = [0] * slots
+    for i in range(n):
+        cell_counts[keyf[i][0]] += 1
+    cell_offsets = np.concatenate([[0], np.cumsum(cell_counts)[:-1]])
+    cell_limits = np.cumsum(cell_counts)
+
+    # sort counts ascending with permutation (s_filtergrid.cu:225-231)
+    perm = sorted(range(slots), key=lambda c: cell_counts[c])
+    sorted_counts = [cell_counts[c] for c in perm]
+    prefix = np.cumsum(sorted_counts)
+    # sumup[i] = prefix[i] + count[i] * (slots-1-i) (:239-248)
+    sumup = [int(prefix[i]) + sorted_counts[i] * (slots - 1 - i)
+             for i in range(slots)]
+    ct = sum(1 for v in sumup if v > max_extrema)
+    if ct == 0:
+        return [True] * n
+    tailaverage = float(sum(sorted_counts[slots - ct:])) / ct
+    # C++ int division in the subtrahend (:258)
+    newlimit = int(math.ceil(tailaverage - (n - max_extrema) // ct))
+    clamped = [min(c, newlimit) for c in cell_counts]
+
+    keep = [True] * n
+    # disable [offset+limit, offset+count) in cell-sorted order (:271-284)
+    for c in range(slots):
+        for pos in range(int(cell_offsets[c]) + clamped[c],
+                         int(cell_limits[c])):
+            keep[order[pos]] = False
+    return keep

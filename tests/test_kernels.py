@@ -165,3 +165,159 @@ def test_debug_mode_enables_nan_checks():
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=120)
     assert "nan-check: True" in out.stdout
+
+
+def _binwin_fixture(seed=7, L=3, h=72, w=150, n=24, pad=None, win=32):
+    """Padded [mag; theta] field + slot arrays for the fused bin kernels."""
+    from popsift_tpu.ops.gradients import padded_gradient_field
+    rng = np.random.default_rng(seed)
+    stack = rng.random((L, h, w)).astype(np.float32)
+    for _ in range(2):
+        stack = (stack + np.roll(stack, 1, 1) + np.roll(stack, 1, 2)) / 3
+    pad_y, pad_x = pad or (win + 8, 256)
+    bothp = padded_gradient_field(jnp.asarray(stack), pad_y, pad_x)
+    x = rng.uniform(2, w - 3, n).astype(np.float32)
+    y = rng.uniform(2, h - 3, n).astype(np.float32)
+    lv = rng.integers(0, L, n).astype(np.int32)
+    sig = rng.uniform(1.2, 3.2, n).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    valid = rng.random(n) < 0.85
+    return bothp, pad_y, pad_x, x, y, lv, sig, ang, valid, h, w
+
+
+def test_ori_hist_fused_kernel_interpret():
+    """Fused window+36-bin kernel (interpret) == the XLA chunked form."""
+    from popsift_tpu.kernels import binwin
+    from popsift_tpu.ops import orientation as ops_ori
+
+    (bothp, pad_y, pad_x, x, y, lv, sig, ang, valid, h, w) = \
+        _binwin_fixture(win=40)
+    win = 40
+    ref = ops_ori._hist_chunked(bothp, x, y, lv, sig, valid, w, h, win,
+                                pad_y, pad_x, bothp.shape[0] // 2, 8)
+    L = bothp.shape[0] // 2
+    rx = jnp.round(jnp.asarray(x)).astype(jnp.int32)
+    half = win // 2
+    x0 = rx - half + pad_x
+    y0 = jnp.round(jnp.asarray(y)).astype(jnp.int32) - half + pad_y
+    lp = jnp.clip(jnp.asarray(lv), 0, L - 1)
+    win_y = binwin._win_rows(win)
+    Hp, Wp = bothp.shape[1], bothp.shape[2]
+    ya = jnp.clip((y0 // 8) * 8, 0, Hp - win_y)
+    xa = jnp.clip((x0 // 128) * 128, 0, Wp - 256)
+    got = np.asarray(binwin.ori_hist_fused_pallas(
+        bothp, lp, lp + L, ya, xa, x0 - xa, x, y, sig,
+        jnp.asarray(valid, jnp.int32), win, w, h, pad_y, pad_x,
+        interpret=True))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_desc_loop_fused_kernel_interpret():
+    """Fused window+4x4x8 descriptor kernel (interpret) == XLA form."""
+    from popsift_tpu.constants import DESC_MAGNIFY
+    from popsift_tpu.kernels import binwin
+    from popsift_tpu.ops import descriptors as ops_desc
+
+    (bothp, pad_y, pad_x, x, y, lv, sig, ang, valid, h, w) = \
+        _binwin_fixture(seed=9, win=48, pad=(64, 256))
+    win = 48
+    ref = ops_desc.loop_descriptors(bothp, pad_y, pad_x, x, y, lv, sig,
+                                    ang, valid, w, h, win, chunk=8)
+    L = bothp.shape[0] // 2
+    rx = jnp.round(jnp.asarray(x)).astype(jnp.int32)
+    half = win // 2
+    x0 = rx - half + pad_x
+    y0 = jnp.round(jnp.asarray(y)).astype(jnp.int32) - half + pad_y
+    lp = jnp.clip(jnp.asarray(lv), 0, L - 1)
+    win_y = binwin._win_rows(win)
+    Hp, Wp = bothp.shape[1], bothp.shape[2]
+    ya = jnp.clip((y0 // 8) * 8, 0, Hp - win_y)
+    xa = jnp.clip((x0 // 128) * 128, 0, Wp - 256)
+    got = np.asarray(binwin.desc_loop_fused_pallas(
+        bothp, lp, lp + L, ya, xa, x0 - xa, x, y, sig, ang,
+        jnp.asarray(valid, jnp.int32), win, w, h, pad_y, pad_x,
+        DESC_MAGNIFY, interpret=True))
+    r = np.asarray(ref)
+    np.testing.assert_allclose(got, r,
+                               atol=1e-4 * max(1.0, float(np.abs(r).max())))
+
+
+def test_ori_hist_stack_kernel_interpret():
+    """Stack-input fused kernel (in-kernel gradients, interpret) == the
+    XLA chunked form over the precomputed gradient field — including
+    keypoints near image borders (gates make the clamped slab origin
+    invisible)."""
+    from popsift_tpu.kernels import binwin
+    from popsift_tpu.ops import orientation as ops_ori
+    from popsift_tpu.ops.gradients import padded_gradient_field
+
+    rng = np.random.default_rng(21)
+    L, h, w = 3, 80, 420
+    stack = rng.random((L, h, w)).astype(np.float32)
+    for _ in range(2):
+        stack = (stack + np.roll(stack, 1, 1) + np.roll(stack, 1, 2)) / 3
+    win = 40
+    assert binwin.stack_kernel_ok(stack.shape, win)
+    n = 16
+    x = np.concatenate([rng.uniform(2, w - 3, n - 4),
+                        [1.2, w - 2.3, 5.0, w - 5.0]]).astype(np.float32)
+    y = np.concatenate([rng.uniform(2, h - 3, n - 4),
+                        [1.1, h - 2.2, h - 4.0, 2.5]]).astype(np.float32)
+    lv = rng.integers(0, L, n).astype(np.int32)
+    sig = rng.uniform(1.2, 3.2, n).astype(np.float32)
+    valid = np.ones(n, bool)
+
+    pad_y, pad_x = 64, 256
+    bothp = padded_gradient_field(jnp.asarray(stack), pad_y, pad_x)
+    ref = ops_ori._hist_chunked(bothp, x, y, lv, sig, valid, w, h, win,
+                                pad_y, pad_x, L, 8)
+
+    lp, ya, xa, dxm, dym, ox1, oy1 = binwin._stack_origins(
+        jnp.asarray(stack), jnp.asarray(lv), jnp.asarray(x),
+        jnp.asarray(y), win)
+    got = np.asarray(binwin.ori_hist_stack_pallas(
+        jnp.asarray(stack), lp, ya, xa, dxm, dym, ox1, oy1, x, y, sig,
+        jnp.asarray(valid, jnp.int32), win, w, h, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_desc_loop_stack_kernel_interpret():
+    """Stack-input fused descriptor kernel (interpret) == XLA form."""
+    from popsift_tpu.constants import DESC_MAGNIFY
+    from popsift_tpu.kernels import binwin
+    from popsift_tpu.ops import descriptors as ops_desc
+    from popsift_tpu.ops.gradients import padded_gradient_field
+
+    rng = np.random.default_rng(23)
+    L, h, w = 2, 96, 400
+    stack = rng.random((L, h, w)).astype(np.float32)
+    for _ in range(2):
+        stack = (stack + np.roll(stack, 1, 1) + np.roll(stack, 1, 2)) / 3
+    win = 48
+    assert binwin.stack_kernel_ok(stack.shape, win)
+    n = 12
+    x = np.concatenate([rng.uniform(2, w - 3, n - 4),
+                        [1.5, w - 2.5, 3.0, w - 4.0]]).astype(np.float32)
+    y = np.concatenate([rng.uniform(2, h - 3, n - 4),
+                        [1.4, h - 2.1, 2.0, h - 3.5]]).astype(np.float32)
+    lv = rng.integers(0, L, n).astype(np.int32)
+    sig = rng.uniform(1.0, 2.2, n).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    valid = np.ones(n, bool)
+
+    pad_y, pad_x = 64, 256
+    bothp = padded_gradient_field(jnp.asarray(stack), pad_y, pad_x)
+    with disable_pallas():
+        ref = ops_desc.loop_descriptors(bothp, pad_y, pad_x, x, y, lv,
+                                        sig, ang, valid, w, h, win,
+                                        chunk=8)
+    lp, ya, xa, dxm, dym, ox1, oy1 = binwin._stack_origins(
+        jnp.asarray(stack), jnp.asarray(lv), jnp.asarray(x),
+        jnp.asarray(y), win)
+    got = np.asarray(binwin.desc_loop_stack_pallas(
+        jnp.asarray(stack), lp, ya, xa, dxm, dym, ox1, oy1, x, y, sig,
+        ang, jnp.asarray(valid, jnp.int32), win, w, h, DESC_MAGNIFY,
+        interpret=True))
+    r = np.asarray(ref)
+    np.testing.assert_allclose(got, r,
+                               atol=1e-4 * max(1.0, float(np.abs(r).max())))

@@ -162,3 +162,115 @@ def test_orientation_parity(scene):
                 assert abs(oris[i, k] - ang) < 2e-3, (o, i, k)
             checked += 1
     assert checked >= 10
+
+
+def test_desc_tables_parity():
+    """Repo desc_gauss/desc_tile vs the golden port of init_constants
+    (sift_constants.cu:34-47)."""
+    from popsift_tpu.constants import build_const_info
+    consts = build_const_info(Config())
+    g, t = ref.ref_desc_tables()
+    np.testing.assert_allclose(np.asarray(consts.desc_gauss), g,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(consts.desc_tile), t, rtol=1e-6)
+
+
+def _desc_fixture(seed=11, h=64, w=96, n=6):
+    rng = np.random.default_rng(seed)
+    layer = rng.random((h, w)).astype(np.float32)
+    for _ in range(2):
+        layer = (layer + np.roll(layer, 1, 0) + np.roll(layer, -1, 0)
+                 + np.roll(layer, 1, 1) + np.roll(layer, -1, 1)) / 5.0
+    x = rng.uniform(12, w - 13, n).astype(np.float32)
+    y = rng.uniform(12, h - 13, n).astype(np.float32)
+    sig = rng.uniform(1.0, 2.2, n).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    return layer, x, y, sig, ang
+
+
+def test_desc_notile_parity():
+    """Repo NoTile/IGrid descriptors (ops.descriptors.grid_descriptors)
+    vs the golden port of ext_desc_notile_sub (s_desc_notile.cu:31-92)."""
+    from popsift_tpu.constants import build_const_info
+    from popsift_tpu.ops import descriptors as ops_desc
+
+    layer, x, y, sig, ang = _desc_fixture()
+    n = x.shape[0]
+    consts = build_const_info(Config())
+    stack = layer[None]
+    got = np.asarray(ops_desc.grid_descriptors(
+        jax.numpy.asarray(stack), x, y, np.zeros(n, np.int32), sig, ang,
+        np.ones(n, bool), np.asarray(consts.desc_gauss),
+        np.asarray(consts.desc_tile)))
+    for i in range(n):
+        want = ref.ref_desc_notile(layer, float(x[i]), float(y[i]),
+                                   float(sig[i]), float(ang[i]))
+        np.testing.assert_allclose(
+            got[i], want, atol=2e-3 * max(1.0, float(np.abs(want).max())),
+            err_msg=f"slot {i}")
+
+
+def test_desc_grid_parity():
+    """Repo Grid descriptors (grid_rounded_descriptors) vs the golden
+    port of ext_desc_grid_sub (s_desc_grid.cu:18-121)."""
+    from popsift_tpu.ops import descriptors as ops_desc
+
+    layer, x, y, sig, ang = _desc_fixture(seed=13)
+    n = x.shape[0]
+    stack = layer[None]
+    got = np.asarray(ops_desc.grid_rounded_descriptors(
+        jax.numpy.asarray(stack), x, y, np.zeros(n, np.int32), sig, ang,
+        np.ones(n, bool)))
+    for i in range(n):
+        want = ref.ref_desc_grid(layer, float(x[i]), float(y[i]),
+                                 float(sig[i]), float(ang[i]))
+        np.testing.assert_allclose(
+            got[i], want, atol=2e-3 * max(1.0, float(np.abs(want).max())),
+            err_msg=f"slot {i}")
+
+
+@pytest.mark.parametrize("mode_name,ref_mode", [
+    ("largest", "largest"), ("smallest", "smallest")])
+def test_grid_filter_parity(mode_name, ref_mode):
+    """Repo grid filter (ops.filtergrid.grid_filter_keep_masks) vs the
+    golden port of the host-side newlimit algorithm
+    (s_filtergrid.cu:110-318), including the C++ integer division."""
+    from popsift_tpu.config import GridFilterMode
+    from popsift_tpu.ops import filtergrid as ops_fg
+    from popsift_tpu.ops.extrema import InitialExtrema
+
+    rng = np.random.default_rng(17)
+    grid_size = 2
+    n_cells = grid_size * grid_size
+    octave_counts = [60, 40, 20]
+    budget = 70   # 70 * 1.1 < 120 -> filter triggers
+
+    entries = []
+    exts = []
+    for o, cnt in enumerate(octave_counts):
+        cap = 64
+        cell = rng.integers(0, n_cells, cap).astype(np.int32)
+        sigma = rng.uniform(1.0, 4.0, cap).astype(np.float32)
+        valid = np.arange(cap) < cnt
+        import jax.numpy as jnp
+        exts.append(InitialExtrema(
+            xpos=jnp.zeros(cap), ypos=jnp.zeros(cap),
+            lpos=jnp.zeros(cap, jnp.int32), sigma=jnp.asarray(sigma),
+            cell=jnp.asarray(cell), valid=jnp.asarray(valid),
+            count=jnp.int32(cnt), overflow=jnp.int32(0)))
+        for i in range(cnt):
+            entries.append(dict(octave=o, cell=int(cell[i]),
+                                sigma=float(sigma[i])))
+
+    mode = (GridFilterMode.LARGEST_SCALE_FIRST if mode_name == "largest"
+            else GridFilterMode.SMALLEST_SCALE_FIRST)
+    keeps = ops_fg.grid_filter_keep_masks(exts, budget, grid_size, mode)
+
+    want = ref.ref_grid_filter(entries, budget, grid_size, ref_mode)
+    got = []
+    for o, cnt in enumerate(octave_counts):
+        got.extend(bool(v) for v in np.asarray(keeps[o])[:cnt])
+    assert got == want
+    # the surviving total respects the budget the way the reference's
+    # clamp does (within one cell's worth of slack)
+    assert sum(got) <= budget + n_cells

@@ -157,3 +157,54 @@ def test_staged_violation_falls_back_to_exact(textured_image, monkeypatch):
     f = ex.extract_features(norm)
     assert ex._class_viol_streak == 0
     assert f.get_feature_count() == ref.get_feature_count()
+
+
+def test_class_probation_state_machine():
+    """Host-only unit test of _note_frame_classes: 3-strike disable,
+    compile-free probation re-enable after the interval (only when the
+    classed program is still cached), instant re-disable + 4x backoff on
+    a failed probation, and full recovery on a clean probation."""
+    cfg = Config()
+    ex = StagedExtractor(cfg, 128, 96)
+    O = ex.plan.octaves
+    key = ((128,) * O, (128,) * O, (128,) * O, 256, 256)
+
+    # 2 violations do not disable; a clean frame resets the streak
+    ex._note_frame_classes(5, key)
+    ex._note_frame_classes(5, key)
+    assert ex._classes_enabled and ex._class_viol_streak == 2
+    ex._note_frame_classes(0, key)
+    assert ex._class_viol_streak == 0
+
+    # 3-strike disable
+    for _ in range(3):
+        ex._note_frame_classes(7, key)
+    assert not ex._classes_enabled
+    p0 = ex._class_probation
+
+    # clean frames tick toward probation, but WITHOUT a cached classed
+    # program at this key the re-enable never fires (no compile allowed)
+    for _ in range(p0 + 5):
+        ex._note_frame_classes(0, key)
+    assert not ex._classes_enabled
+
+    # with the classed program cached, probation re-enables
+    ex._fused_packed[(key, True)] = lambda *a: None
+    ex._frames_since_disable = 0
+    for _ in range(p0):
+        ex._note_frame_classes(0, key)
+    assert ex._classes_enabled and ex._class_probation_active
+    assert ex._class_viol_streak == 2  # one violation re-disables
+
+    # failed probation: instant re-disable + 4x backoff
+    ex._note_frame_classes(1, key)
+    assert not ex._classes_enabled
+    assert ex._class_probation == min(p0 * 4, 4096)
+
+    # next probation succeeds: a clean classed frame clears probation
+    ex._frames_since_disable = ex._class_probation
+    ex._note_frame_classes(0, key)
+    assert ex._classes_enabled
+    ex._note_frame_classes(0, key)
+    assert ex._classes_enabled and not ex._class_probation_active
+    assert ex._class_viol_streak == 0
