@@ -349,14 +349,24 @@ def desc_loop_fused(bothp, xpos, ypos, lpos, sigma, ang, valid,
 # (the DMA is unpadded, clamped into the image; masked gates make the
 # clamp shift invisible); small octaves keep the bothp path.
 
-def _stack_views(field_ref, lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref,
+def _stack_views(field_ref, lp_ref, ya_ref, xa_ref, dxm_ref,
                  slabs, sems, win_y: int):
-    """DMA one raw-level slab and return the 5 rolled gradient views
-    (center, x+1, x-1, y+1, y-1), each (win_y, 128) with
-    view[r, k] = level[oy+1+r (+/-1), ox+1+k (+/-1)]."""
+    """DMA one raw-level slab and return the 4 gradient-tap views
+    (x+1, x-1, y+1, y-1), each (win_y, 128) with
+    view[r, k] = level[ya+1+r (+/-1), ox+1+k (+/-1)].
+
+    Row offsets are STATIC slices from the 8-aligned DMA origin (the
+    extra processed rows absorb the 0..7 alignment loss AND the
+    slab-end clamp via the coordinate masks: the processed window is
+    the whole slab minus a 1-row halo each side, so the end-clamped
+    origin still reaches row H-2); column offsets are one dynamic lane
+    roll per view straight off the slab.  Mosaic miscompiles CHAINED
+    dynamic rolls (a second pltpu.roll of an already-rolled vector
+    returns garbage on hardware — verified by a standalone probe;
+    single rolls are exact), so no view ever rolls twice."""
     g = pl.program_id(0)
     n = pl.num_programs(0)
-    rows = win_y + 16
+    rows = win_y + 2    # the 1-row gradient halo each side
 
     def mk(i, slot):
         return pltpu.make_async_copy(
@@ -379,12 +389,21 @@ def _stack_views(field_ref, lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref,
     mk(g, g % _DEPTH).wait()
 
     dxm = dxm_ref[g]
-    dym = dym_ref[g]
-    slab = slabs[g % _DEPTH]
 
     def view(dr, dc):
-        v = pltpu.roll(slab, -(dym + dr), 0)
-        return pltpu.roll(v, -(dxm + dc), 1)[:win_y, :128]
+        # row offset applied at the REF READ (static sublane-offset
+        # load).  The lane shift s = dxm+dc is in [0, 129] — beyond one
+        # 128-lane tile — and Mosaic's dynamic roll is only exact on
+        # <=2-tile (256-lane) vectors (a 384-lane roll returns garbage
+        # on hardware; verified by a standalone probe).  So: roll each
+        # 256-lane half once and select (every needed 128-lane window
+        # fits one half: s<=128 -> lanes [s, s+128) of [0, 256);
+        # s>128 -> of [128, 384)).
+        part = slabs[g % _DEPTH, dr:dr + win_y, :]
+        s = dxm + dc
+        lo = pltpu.roll(part[:, :256], -s, 1)[:, :128]
+        hi = pltpu.roll(part[:, 128:384], -(s - 128), 1)[:, :128]
+        return jnp.where(s <= 128, lo, hi)
 
     xp = view(1, 2)
     xm = view(1, 0)
@@ -393,21 +412,51 @@ def _stack_views(field_ref, lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref,
     return xp, xm, yp, ym, g
 
 
+def _atan2_poly(y, x):
+    """Vectorised float32 atan2 (Mosaic has no atan2/atan lowering).
+
+    Cephes-style atanf: octant range reduction at tan(pi/8)/tan(3pi/8)
+    + a degree-9 odd minimax polynomial; max error ~2e-7 rad — below
+    the float32 noise floor of the XLA atan2 it replaces, and far below
+    the 36-bin (0.17 rad) / 8-bin (0.79 rad) binning granularity
+    downstream.  atan2(0, 0) = 0 like the libm the reference relies
+    on."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    both0 = (ax == 0.0) & (ay == 0.0)
+    q = ay / jnp.where(both0, 1.0, ax)          # [0, inf)
+
+    big = q > 2.414213562373095                 # tan(3pi/8)
+    mid = q > 0.4142135623730951                # tan(pi/8)
+    xr = jnp.where(big, -1.0 / jnp.where(q == 0.0, 1.0, q),
+                   jnp.where(mid, (q - 1.0) / (q + 1.0), q))
+    base = jnp.where(big, math.pi / 2,
+                     jnp.where(mid, math.pi / 4, 0.0))
+    z = xr * xr
+    p = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+           + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr)
+    t = base + p                                # atan(q) in [0, pi/2]
+
+    ang = jnp.where(x >= 0.0, t, math.pi - t)   # fold x sign
+    ang = jnp.where(y >= 0.0, ang, -ang)        # fold y sign
+    return jnp.where(both0, 0.0, ang)
+
+
 def _grad_inkernel(xp, xm, yp, ym):
     """Central differences + hypot/atan2 (s_gradiant.h:55-69)."""
     dx = xp - xm
     dy = yp - ym
     mw = jnp.sqrt(dx * dx + dy * dy)
-    tw = jnp.arctan2(dy, dx)
+    tw = _atan2_poly(dy, dx)
     return mw, tw
 
 
-def _ori_stack_kernel(lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref, oxf_ref,
+def _ori_stack_kernel(lp_ref, ya_ref, xa_ref, dxm_ref, oxf_ref,
                       oyf_ref, xf_ref, yf_ref, sg_ref, vl_ref, field_ref,
                       out_ref, slabs, sems,
                       *, win_y: int, w: int, h: int):
     xp, xm, yp, ym, g = _stack_views(field_ref, lp_ref, ya_ref, xa_ref,
-                                     dxm_ref, dym_ref, slabs, sems, win_y)
+                                     dxm_ref, slabs, sems, win_y)
     mw, tw = _grad_inkernel(xp, xm, yp, ym)
 
     x = xf_ref[g]
@@ -445,12 +494,12 @@ def _ori_stack_kernel(lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref, oxf_ref,
     out_ref[0, 0, :] = jnp.stack(cols)
 
 
-def _desc_stack_kernel(lp_ref, ya_ref, xa_ref, dxm_ref, dym_ref, oxf_ref,
+def _desc_stack_kernel(lp_ref, ya_ref, xa_ref, dxm_ref, oxf_ref,
                        oyf_ref, xf_ref, yf_ref, sg_ref, ag_ref, vl_ref,
                        field_ref, out_ref, slabs, sems,
                        *, win_y: int, w: int, h: int, magnify: float):
     xp, xm, yp, ym, g = _stack_views(field_ref, lp_ref, ya_ref, xa_ref,
-                                     dxm_ref, dym_ref, slabs, sems, win_y)
+                                     dxm_ref, slabs, sems, win_y)
     mw, tw = _grad_inkernel(xp, xm, yp, ym)
 
     x = xf_ref[g]
@@ -517,7 +566,7 @@ def _stack_origins(stack, lpos, xpos, ypos, win: int):
     within win/2 of a border, and then the 128/win_y extent still covers
     the in-image half (see module comment)."""
     L, H, W = stack.shape
-    win_y = _win_rows(win)
+    S = _win_rows(win) + 16      # slab rows (8-aligned alloc + fetch)
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
     half = win // 2
@@ -525,28 +574,44 @@ def _stack_origins(stack, lpos, xpos, ypos, win: int):
     oy = jnp.clip(ry - half - 1, 0, H - (win + 2))
     lp = jnp.clip(lpos, 0, L - 1)
     xa = jnp.clip((ox // 128) * 128, 0, W - 384)
-    ya = jnp.clip((oy // 8) * 8, 0, H - (win_y + 16))
-    return (lp, ya, xa, ox - xa, oy - ya, ox + 1, oy + 1)
+    ya = jnp.clip((oy // 8) * 8, 0, H - S)
+    return (lp, ya, xa, ox - xa, ox + 1, ya + 1)
 
 
 def stack_kernel_ok(stack_shape, win: int) -> bool:
+    """Gate for the stack-input (in-kernel gradient) kernels.
+
+    EXPERIMENTAL, off by default (POPSIFT_TPU_STACK_KERNELS=1 enables):
+    interpret-mode parity holds, but on hardware the variant still
+    differs from the field path after working around two verified
+    Mosaic miscompiles (chained dynamic rolls; dynamic rolls on 3-tile
+    vectors), and the measured per-stage times (ori 2.7 vs 2.0 ms,
+    desc 5.3 vs 4.0 ms per 1536 slots) mean the net win over the field
+    path — eliminating the dense-gradient stage — is ~1-3 ms/image,
+    not worth shipping at reduced parity confidence.  The field-input
+    fused kernels above remain the production path."""
+    import os
+    if os.environ.get("POPSIFT_TPU_STACK_KERNELS", "") in ("", "0"):
+        return False
     L, H, W = stack_shape
-    return W >= 384 and H >= _win_rows(win) + 16 and win <= 120
+    return W >= 384 and H >= _win_rows(win) + 16 and win <= 112
 
 
 @functools.partial(jax.jit, static_argnames=("win", "w", "h", "interpret"))
-def ori_hist_stack_pallas(stack, lp, ya, xa, dxm, dym, ox1, oy1, xf, yf,
+def ori_hist_stack_pallas(stack, lp, ya, xa, dxm, ox1, oy1, xf, yf,
                           sg, vl, win: int, w: int, h: int,
                           interpret: bool = False):
     n = lp.shape[0]
-    win_y = _win_rows(win)
+    # processed rows = slab minus the 1-row halo each side; the slab
+    # (8-aligned, _win_rows+16) absorbs alignment loss + end clamp
+    win_y = _win_rows(win) + 14
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=10,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 1, ORI_NBINS), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_DEPTH, win_y + 16, 384), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_DEPTH, win_y + 2, 384), jnp.float32),
                         pltpu.SemaphoreType.DMA((_DEPTH,))],
     )
     kern = functools.partial(_ori_stack_kernel, win_y=win_y, w=w, h=h)
@@ -557,7 +622,7 @@ def ori_hist_stack_pallas(stack, lp, ya, xa, dxm, dym, ox1, oy1, xf, yf,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(lp.astype(jnp.int32), ya.astype(jnp.int32), xa.astype(jnp.int32),
-      dxm.astype(jnp.int32), dym.astype(jnp.int32),
+      dxm.astype(jnp.int32),
       ox1.astype(jnp.int32), oy1.astype(jnp.int32),
       xf.astype(jnp.float32), yf.astype(jnp.float32),
       sg.astype(jnp.float32), vl.astype(jnp.int32), stack)
@@ -568,29 +633,31 @@ def ori_hist_stack(stack, xpos, ypos, lpos, sigma, valid,
                    w: int, h: int, win: int):
     """Orientation histograms from the raw blurred stack (in-kernel
     gradients); caller must check :func:`stack_kernel_ok`."""
-    lp, ya, xa, dxm, dym, ox1, oy1 = _stack_origins(
+    lp, ya, xa, dxm, ox1, oy1 = _stack_origins(
         stack, lpos, xpos, ypos, win)
     from .dispatch import kernel_interpret
     return ori_hist_stack_pallas(
-        stack, lp, ya, xa, dxm, dym, ox1, oy1, xpos, ypos, sigma,
+        stack, lp, ya, xa, dxm, ox1, oy1, xpos, ypos, sigma,
         valid.astype(jnp.int32), win, w, h,
         interpret=kernel_interpret())
 
 
 @functools.partial(jax.jit, static_argnames=("win", "w", "h", "magnify",
                                              "interpret"))
-def desc_loop_stack_pallas(stack, lp, ya, xa, dxm, dym, ox1, oy1, xf, yf,
+def desc_loop_stack_pallas(stack, lp, ya, xa, dxm, ox1, oy1, xf, yf,
                            sg, ag, vl, win: int, w: int, h: int,
                            magnify: float, interpret: bool = False):
     n = lp.shape[0]
-    win_y = _win_rows(win)
+    # processed rows = slab minus the 1-row halo each side (see
+    # ori_hist_stack_pallas)
+    win_y = _win_rows(win) + 14
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=12,
+        num_scalar_prefetch=11,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 8, 4, 4), lambda g, *_: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_DEPTH, win_y + 16, 384), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_DEPTH, win_y + 2, 384), jnp.float32),
                         pltpu.SemaphoreType.DMA((_DEPTH,))],
     )
     kern = functools.partial(_desc_stack_kernel, win_y=win_y, w=w, h=h,
@@ -602,7 +669,7 @@ def desc_loop_stack_pallas(stack, lp, ya, xa, dxm, dym, ox1, oy1, xf, yf,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(lp.astype(jnp.int32), ya.astype(jnp.int32), xa.astype(jnp.int32),
-      dxm.astype(jnp.int32), dym.astype(jnp.int32),
+      dxm.astype(jnp.int32),
       ox1.astype(jnp.int32), oy1.astype(jnp.int32),
       xf.astype(jnp.float32), yf.astype(jnp.float32),
       sg.astype(jnp.float32), ag.astype(jnp.float32),
@@ -614,10 +681,10 @@ def desc_loop_stack(stack, xpos, ypos, lpos, sigma, ang, valid,
                     w: int, h: int, win: int, magnify: float):
     """Loop-mode descriptors from the raw blurred stack (in-kernel
     gradients); caller must check :func:`stack_kernel_ok`."""
-    lp, ya, xa, dxm, dym, ox1, oy1 = _stack_origins(
+    lp, ya, xa, dxm, ox1, oy1 = _stack_origins(
         stack, lpos, xpos, ypos, win)
     from .dispatch import kernel_interpret
     return desc_loop_stack_pallas(
-        stack, lp, ya, xa, dxm, dym, ox1, oy1, xpos, ypos, sigma, ang,
+        stack, lp, ya, xa, dxm, ox1, oy1, xpos, ypos, sigma, ang,
         valid.astype(jnp.int32), win, w, h, magnify,
         interpret=kernel_interpret())

@@ -242,11 +242,13 @@ def test_desc_loop_fused_kernel_interpret():
                                atol=1e-4 * max(1.0, float(np.abs(r).max())))
 
 
-def test_ori_hist_stack_kernel_interpret():
+def test_ori_hist_stack_kernel_interpret(monkeypatch):
     """Stack-input fused kernel (in-kernel gradients, interpret) == the
     XLA chunked form over the precomputed gradient field — including
     keypoints near image borders (gates make the clamped slab origin
-    invisible)."""
+    invisible).  (The stack kernels are gated off by default — see
+    binwin.stack_kernel_ok — but their numerics stay covered here.)"""
+    monkeypatch.setenv("POPSIFT_TPU_STACK_KERNELS", "1")
     from popsift_tpu.kernels import binwin
     from popsift_tpu.ops import orientation as ops_ori
     from popsift_tpu.ops.gradients import padded_gradient_field
@@ -272,17 +274,18 @@ def test_ori_hist_stack_kernel_interpret():
     ref = ops_ori._hist_chunked(bothp, x, y, lv, sig, valid, w, h, win,
                                 pad_y, pad_x, L, 8)
 
-    lp, ya, xa, dxm, dym, ox1, oy1 = binwin._stack_origins(
+    lp, ya, xa, dxm, ox1, oy1 = binwin._stack_origins(
         jnp.asarray(stack), jnp.asarray(lv), jnp.asarray(x),
         jnp.asarray(y), win)
     got = np.asarray(binwin.ori_hist_stack_pallas(
-        jnp.asarray(stack), lp, ya, xa, dxm, dym, ox1, oy1, x, y, sig,
+        jnp.asarray(stack), lp, ya, xa, dxm, ox1, oy1, x, y, sig,
         jnp.asarray(valid, jnp.int32), win, w, h, interpret=True))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_desc_loop_stack_kernel_interpret():
+def test_desc_loop_stack_kernel_interpret(monkeypatch):
     """Stack-input fused descriptor kernel (interpret) == XLA form."""
+    monkeypatch.setenv("POPSIFT_TPU_STACK_KERNELS", "1")
     from popsift_tpu.constants import DESC_MAGNIFY
     from popsift_tpu.kernels import binwin
     from popsift_tpu.ops import descriptors as ops_desc
@@ -311,11 +314,11 @@ def test_desc_loop_stack_kernel_interpret():
         ref = ops_desc.loop_descriptors(bothp, pad_y, pad_x, x, y, lv,
                                         sig, ang, valid, w, h, win,
                                         chunk=8)
-    lp, ya, xa, dxm, dym, ox1, oy1 = binwin._stack_origins(
+    lp, ya, xa, dxm, ox1, oy1 = binwin._stack_origins(
         jnp.asarray(stack), jnp.asarray(lv), jnp.asarray(x),
         jnp.asarray(y), win)
     got = np.asarray(binwin.desc_loop_stack_pallas(
-        jnp.asarray(stack), lp, ya, xa, dxm, dym, ox1, oy1, x, y, sig,
+        jnp.asarray(stack), lp, ya, xa, dxm, ox1, oy1, x, y, sig,
         ang, jnp.asarray(valid, jnp.int32), win, w, h, DESC_MAGNIFY,
         interpret=True))
     r = np.asarray(ref)

@@ -104,6 +104,41 @@ def main():
                 + both[0, 0, 0], jnp.int32(0))
 
     import popsift_tpu.ops.descriptors as ops_desc_mod
+    import popsift_tpu.ops.pyramid as ops_pyr_mod
+
+    orig_pyr = ops_pyr_mod.build_pyramid_and_dogs
+
+    def no_pyr(image, gauss, dims, levels, gauss_mode, scaling_mode,
+               sift_mode, upscale_factor):
+        # shape-identical stacks/dogs carrying a data dependency on the
+        # input but skipping all blur/resample work
+        v = image[0, 0]
+        stacks = [jnp.zeros((levels + 3, hh, ww), jnp.float32) + v
+                  for (ww, hh) in dims]
+        dogs = [s[1:] - s[:-1] for s in stacks]
+        return stacks, dogs
+
+    def no_finalize(exts, oris, descs, angds, ks, bs, ft, bt):
+        # shape-identical output, no packing work; the dep sum keeps
+        # every upstream stage (incl. descriptors) alive through DCE
+        desc_dtype = {"u16": jnp.uint16, "u8": jnp.uint8,
+                      "u8p": jnp.uint8}.get(ex.config.desc_transfer,
+                                            jnp.float32)
+        FT, BT = max(ft, 1), max(bt, 1)
+        dep = exts[0][0][0]
+        for d in descs:
+            if d.size:
+                dep = dep + d[0, 0].astype(jnp.float32)
+        for a in angds:
+            if a.size:
+                dep = dep + a[0]
+        z = jnp.zeros((FT,), jnp.float32) + dep
+        zi = jnp.zeros((FT,), jnp.int32)
+        return dict(
+            x=z, y=z, sigma=z, num_ori=zi, idx_ori=zi, octave=zi,
+            ori_d=jnp.zeros((BT,), jnp.float32) + dep,
+            desc=jnp.zeros((BT, 128), desc_dtype),
+            ext_total=jnp.int32(1), ori_total=jnp.int32(1))
 
     variants = [
         ("full", []),
@@ -127,6 +162,9 @@ def main():
         ("no-desc", [patched(ext_mod, "_dispatch_descriptors", no_desc),
                      patched(ops_desc_mod, "loop_descriptors_classed",
                              no_desc_classed)]),
+        ("no-pyr", [patched(ops_pyr_mod, "build_pyramid_and_dogs",
+                            no_pyr)]),
+        ("no-finalize", [patched(ex, "_finalize_body", no_finalize)]),
     ]
 
     def slope(fn):
