@@ -79,27 +79,28 @@ def main():
         return outs
 
     def no_ori(bothp, pad_y, pad_x, xpos, ypos, lpos, sigma, valid,
-               w_, h_, win, max_count=4, chunk=256):
+               w_, h_, win=None, max_count=4, chunk=256, **k):
         cap = xpos.shape[0]
         return (valid.astype(jnp.int32),
                 jnp.zeros((cap, max_count), jnp.float32)
                 + bothp[0, 0, 0])
 
     def no_desc(plan, consts, stack, grads, pad_y, pad_x,
-                ex_, ey, el, es, ang, ovalid, w_, h_):
+                ex_, ey, el, es, ang, ovalid, w_, h_, **k):
         return jnp.zeros((ex_.shape[0], 128), jnp.float32) + grads[0, 0, 0]
 
     # classed variants (the optimistic fused program calls these instead
     # of assign_orientations / _dispatch_descriptors)
     def no_ori_classed(bothp, pad_y, pad_x, xpos, ypos, lpos, sigma,
-                       valid, w_, h_, classes, max_count=4, chunk=256):
+                       valid, w_, h_, classes=None, max_count=4, chunk=256,
+                       **k):
         cap = xpos.shape[0]
         return (valid.astype(jnp.int32),
                 jnp.zeros((cap, max_count), jnp.float32)
                 + bothp[0, 0, 0], jnp.int32(0))
 
     def no_desc_classed(both, pad_y, pad_x, xpos, ypos, lpos, sigma,
-                        ang, valid, w_, h_, classes, chunk=64):
+                        ang, valid, w_, h_, classes=None, chunk=64, **k):
         return (jnp.zeros((xpos.shape[0], 128), jnp.float32)
                 + both[0, 0, 0], jnp.int32(0))
 
