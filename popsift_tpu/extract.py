@@ -135,6 +135,26 @@ def grad_pad_dims(plan) -> tuple[int, int]:
     return aligned_window_dims(max(plan.ori_win, plan.desc_win))
 
 
+def field_pads(plan, dims_o: tuple[int, int]) -> tuple[int, int]:
+    """Gradient-field pads for one octave, agreed between the producer
+    (ops.gradients.gradient_field) and every window consumer.
+
+    On TPU, octaves big enough for the fused field kernel get an
+    UNPADDED field — the window kernels clamp their DMA origins into the
+    array, so padding was only ever finite filler costing a ~0.5 GB copy
+    at octave 0.  Small octaves (and other backends) keep the padded XLA
+    field, whose pads the XLA gather fallbacks rely on."""
+    w, h = dims_o
+    from .kernels.binwin import _win_rows
+    from .kernels.dispatch import pallas_enabled
+    from .kernels.grad import grad_field_ok
+    win = max(plan.ori_win, plan.desc_win)
+    if (pallas_enabled() and grad_field_ok((0, h, w))
+            and win <= 120 and h >= _win_rows(win)):
+        return (0, 0)
+    return grad_pad_dims(plan)
+
+
 def window_classes(win_max: int, cap: int, fracs: tuple,
                    chunk: int, min_cap: int = 512):
     """Static sigma-class window plan: [(win, size)] in descending-window
@@ -175,6 +195,11 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
     # TPU); edge padding reproduces the texture clamp addressing
     from .kernels.dispatch import pallas_enabled
     if pallas_enabled():
+        # the sampling modes pad the raw STACK (texture clamp analog);
+        # their pads are independent of the gradient field's (which may
+        # be zero on TPU)
+        from .kernels.windows import aligned_window_dims
+        pad_y, pad_x = aligned_window_dims(plan.desc_win)
         stackp = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
                          mode="edge")
         if plan.desc_mode == DescMode.ILOOP:
@@ -240,8 +265,8 @@ def extract_pipeline(image: jnp.ndarray, plan: ExtractorPlan,
     for o, stack in enumerate(stacks):
         w, h = plan.dims[o]
         ext = exts[o]
-        pad_y, pad_x = grad_pad_dims(plan)
-        field = ops_grad.padded_gradient_field(stack, pad_y, pad_x)
+        pad_y, pad_x = field_pads(plan, plan.dims[o])
+        field = ops_grad.gradient_field(stack, pad_y, pad_x)
 
         num_ori, orientations = ops_ori.assign_orientations(
             field, pad_y, pad_x, ext.xpos, ext.ypos, ext.lpos, ext.sigma,

@@ -169,7 +169,7 @@ def ori_hist_fused(bothp, xpos, ypos, lpos, sigma, valid,
     bothp : (2L, H+2*pad_y, W+2*pad_x) padded [mag; theta] field with
     pad_x == 256 (grad_pad_dims contract).
     """
-    assert pad_x >= 256, "fused binning needs the 256-lane pad"
+    assert bothp.shape[2] >= 256, "fused binning needs a 256-lane slab"
     n_levels = bothp.shape[0] // 2
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
@@ -185,7 +185,7 @@ def ori_hist_fused(bothp, xpos, ypos, lpos, sigma, valid,
 
     from .dispatch import kernel_interpret
     return ori_hist_fused_pallas(
-        bothp, lp, lp + n_levels, ya, xa, dx0, xpos, ypos, sigma,
+        bothp, 2 * lp, 2 * lp + 1, ya, xa, dx0, xpos, ypos, sigma,
         valid.astype(jnp.int32), win, w, h, pad_y, pad_x,
         interpret=kernel_interpret())
 
@@ -313,7 +313,7 @@ def desc_loop_fused(bothp, xpos, ypos, lpos, sigma, ang, valid,
                     w: int, h: int, win: int, pad_y: int, pad_x: int,
                     magnify: float):
     """Caller-side coordinate prep for :func:`desc_loop_fused_pallas`."""
-    assert pad_x >= 256, "fused binning needs the 256-lane pad"
+    assert bothp.shape[2] >= 256, "fused binning needs a 256-lane slab"
     n_levels = bothp.shape[0] // 2
     rx = jnp.round(xpos).astype(jnp.int32)
     ry = jnp.round(ypos).astype(jnp.int32)
@@ -329,7 +329,7 @@ def desc_loop_fused(bothp, xpos, ypos, lpos, sigma, ang, valid,
 
     from .dispatch import kernel_interpret
     return desc_loop_fused_pallas(
-        bothp, lp, lp + n_levels, ya, xa, dx0, xpos, ypos, sigma, ang,
+        bothp, 2 * lp, 2 * lp + 1, ya, xa, dx0, xpos, ypos, sigma, ang,
         valid.astype(jnp.int32), win, w, h, pad_y, pad_x, magnify,
         interpret=kernel_interpret())
 

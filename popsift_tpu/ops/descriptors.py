@@ -92,10 +92,18 @@ def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
             return desc_loop_stack(stack, xpos, ypos, lpos, sigma, ang,
                                    valid, w, h, win,
                                    magnify=DESC_MAGNIFY)
-        if pad_x >= 256:
+        from ..kernels.binwin import _win_rows
+        if both.shape[2] >= 256 and both.shape[1] >= _win_rows(win):
             return desc_loop_fused(both, xpos, ypos, lpos, sigma, ang,
                                    valid, w, h, win, pad_y, pad_x,
                                    magnify=DESC_MAGNIFY)
+
+    if pad_y == 0 and pad_x == 0:
+        # XLA gather fallback needs real pads (unclamped DMA origins);
+        # re-pad the unpadded TPU field on demand (rare programs only)
+        from ..kernels.windows import aligned_window_dims
+        pad_y, pad_x = aligned_window_dims(win)
+        both = jnp.pad(both, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
 
     from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
 
@@ -184,7 +192,7 @@ def loop_descriptors(both: jnp.ndarray, pad_y: int, pad_x: int,
         lp = jnp.clip(l, 0, L - 1)
         # one batched window DMA fetches mag and theta windows together;
         # columns start exactly at x0 (in-kernel lane roll)
-        lp2 = jnp.concatenate([lp, lp + L])
+        lp2 = jnp.concatenate([2 * lp, 2 * lp + 1])   # interleaved field
         wins, ya = gather_windows_exact(
             both, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2),
             win)

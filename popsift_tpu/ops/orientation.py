@@ -90,7 +90,7 @@ def _histograms(bothp, xpos, ypos, lpos, sigma, valid,
     lp = jnp.clip(lpos, 0, n_levels - 1)
 
     win_y, win_x = rolled_window_dims(win)
-    lp2 = jnp.concatenate([lp, lp + n_levels])
+    lp2 = jnp.concatenate([2 * lp, 2 * lp + 1])   # interleaved field
     wins, ya = gather_windows_exact(
         bothp, lp2, jnp.tile(y0 + pad_y, 2), jnp.tile(x0 + pad_x, 2), win)
     mw, tw = wins[:n], wins[n:]
@@ -150,14 +150,21 @@ def _hist_chunked(bothp, xpos, ypos, lpos, sigma, valid,
     XLA chunked form below is the numerically-identical fallback."""
     from ..kernels.dispatch import pallas_enabled
     if pallas_enabled() and win <= 120:
-        from ..kernels.binwin import (ori_hist_fused, ori_hist_stack,
-                                      stack_kernel_ok)
+        from ..kernels.binwin import (_win_rows, ori_hist_fused,
+                                      ori_hist_stack, stack_kernel_ok)
         if stack is not None and stack_kernel_ok(stack.shape, win):
             return ori_hist_stack(stack, xpos, ypos, lpos, sigma, valid,
                                   w, h, win)
-        if pad_x >= 256:
+        if bothp.shape[2] >= 256 and bothp.shape[1] >= _win_rows(win):
             return ori_hist_fused(bothp, xpos, ypos, lpos, sigma, valid,
                                   w, h, win, pad_y, pad_x)
+    if pad_y == 0 and pad_x == 0:
+        # the XLA gather fallback needs real window pads (its DMA origins
+        # are not clamped); re-pad the unpadded TPU field on demand —
+        # this only compiles into rare programs (win > 120, tiny octaves)
+        from ..kernels.windows import aligned_window_dims
+        pad_y, pad_x = aligned_window_dims(win)
+        bothp = jnp.pad(bothp, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
     cap = xpos.shape[0]
     chunk = min(chunk, max(cap, 1))
     n_chunks = -(-cap // chunk) if cap else 0

@@ -139,10 +139,9 @@ class StagedExtractor:
                 cand_counts.append(ccount)
                 cand_overflows.append(coverflow)
         with scope("gradients"):
-            from .extract import grad_pad_dims
-            pad_y, pad_x = grad_pad_dims(plan)
-            grads = [ops_grad.padded_gradient_field(s, pad_y, pad_x)
-                     for s in stacks]
+            from .extract import field_pads
+            grads = [ops_grad.gradient_field(s, *field_pads(plan, plan.dims[o]))
+                     for o, s in enumerate(stacks)]
         return dict(stacks=stacks, dogs=dogs, grads=grads, cands=cands,
                     cand_counts=jnp.stack(cand_counts),
                     cand_overflows=jnp.stack(cand_overflows))
@@ -210,8 +209,8 @@ class StagedExtractor:
                 ori_counts.append(jnp.int32(0))
                 continue
             w, h = plan.dims[o]
-            from .extract import grad_pad_dims, window_classes
-            pad_y, pad_x = grad_pad_dims(plan)
+            from .extract import field_pads, window_classes
+            pad_y, pad_x = field_pads(plan, plan.dims[o])
             e = exts[o]
             classes = window_classes(
                 plan.ori_win, k, (1 / 8, 3 / 8, 1 / 2),
@@ -302,9 +301,9 @@ class StagedExtractor:
             ex, ey = e.xpos[:k][ei], e.ypos[:k][ei]
             el, es = e.lpos[:k][ei], e.sigma[:k][ei]
 
-            from .extract import (_dispatch_descriptors, grad_pad_dims,
+            from .extract import (_dispatch_descriptors, field_pads,
                                   window_classes)
-            pad_y, pad_x = grad_pad_dims(plan)
+            pad_y, pad_x = field_pads(plan, plan.dims[o])
             classes = window_classes(
                 plan.desc_win, b, (1 / 8, 1 / 2, 3 / 8),
                 chunk=64, min_cap=self.CLASS_MIN_CAP) \

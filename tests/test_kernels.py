@@ -206,7 +206,7 @@ def test_ori_hist_fused_kernel_interpret():
     ya = jnp.clip((y0 // 8) * 8, 0, Hp - win_y)
     xa = jnp.clip((x0 // 128) * 128, 0, Wp - 256)
     got = np.asarray(binwin.ori_hist_fused_pallas(
-        bothp, lp, lp + L, ya, xa, x0 - xa, x, y, sig,
+        bothp, 2 * lp, 2 * lp + 1, ya, xa, x0 - xa, x, y, sig,
         jnp.asarray(valid, jnp.int32), win, w, h, pad_y, pad_x,
         interpret=True))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
@@ -234,7 +234,7 @@ def test_desc_loop_fused_kernel_interpret():
     ya = jnp.clip((y0 // 8) * 8, 0, Hp - win_y)
     xa = jnp.clip((x0 // 128) * 128, 0, Wp - 256)
     got = np.asarray(binwin.desc_loop_fused_pallas(
-        bothp, lp, lp + L, ya, xa, x0 - xa, x, y, sig, ang,
+        bothp, 2 * lp, 2 * lp + 1, ya, xa, x0 - xa, x, y, sig, ang,
         jnp.asarray(valid, jnp.int32), win, w, h, pad_y, pad_x,
         DESC_MAGNIFY, interpret=True))
     r = np.asarray(ref)

@@ -143,7 +143,8 @@ def main():
 
     variants = [
         ("full", []),
-        ("no-grad", [patched(ops_grad, "padded_gradient_field", no_grad)]),
+        ("no-grad", [patched(ops_grad, "padded_gradient_field", no_grad),
+                     patched(ops_grad, "gradient_field", no_grad)]),
         ("no-detect", [patched(ops_ext, "detect_candidates", no_det),
                        patched(ops_ext, "detect_and_compact",
                                lambda dog, m, t, cap: (

@@ -17,12 +17,23 @@ from popsift_tpu.ops import pyramid as P  # noqa: E402
 from popsift_tpu.kernels.blur import sep_blur_fused  # noqa: E402
 
 
-def timed(label, fn, args_list, reps=4):
-    np.asarray(jax.tree_util.tree_leaves(fn(args_list[0]))[0])
-    t0 = time.time()
-    for a in args_list[:reps]:
-        r = np.asarray(jax.tree_util.tree_leaves(fn(a))[0])
-    print(f"{label:26s} {(time.time() - t0) / reps * 1e3:8.1f} ms",
+def timed(label, fn, args_list, lo=2, hi=8, reps=3):
+    """Dispatch-count slope with a REAL tiny fetch as the barrier (the
+    axon backend's block_until_ready can return early; the fetch RTT is
+    constant and cancels in the slope)."""
+    def run(k):
+        outs = [fn(args_list[i % len(args_list)]) for i in range(k)]
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[:1])
+    run(2)
+    ts = {}
+    for k in (lo, hi):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            run(k)
+            best = min(best, time.time() - t0)
+        ts[k] = best
+    print(f"{label:26s} {(ts[hi] - ts[lo]) / (hi - lo) * 1e3:8.1f} ms",
           flush=True)
 
 
