@@ -95,22 +95,78 @@ def run_secondary_configs() -> None:
               file=sys.stderr)
 
 
+def _install_cache_counters() -> dict:
+    """Count persistent-compilation-cache hits/requests via jax
+    monitoring events, so the warmup line shows whether the shipped
+    .xla_cache actually hit on this host (round-3 verdict task 3)."""
+    counters = {"hits": 0, "requests": 0, "saved_sec": 0.0}
+    try:
+        from jax._src import monitoring
+
+        def on_event(event, **kw):
+            if event == "/jax/compilation_cache/cache_hits":
+                counters["hits"] += 1
+            elif event == "/jax/compilation_cache/compile_requests_use_cache":
+                counters["requests"] += 1
+
+        def on_duration(event, duration, **kw):
+            if event == "/jax/compilation_cache/compile_time_saved_sec":
+                counters["saved_sec"] += duration
+
+        monitoring.register_event_listener(on_event)
+        monitoring.register_event_duration_secs_listener(on_duration)
+    except Exception as e:  # diagnostics only
+        print(f"# cache counters unavailable: {e}", file=sys.stderr)
+    return counters
+
+
+def _pass_attribution(tag: str, n_images: int) -> None:
+    """Per-pass trace attribution: compile events, recovery counters and
+    wire bytes incurred since the last call, so anomalous passes are
+    readable as tunnel-stall vs recompile from the bench log alone."""
+    try:
+        from popsift_tpu.tracing import host_trace_snapshot
+        snap = host_trace_snapshot(clear=True)
+        compiles = snap.get("#compile_program", (0, 0))[0]
+        compile_ms = snap.get("compile", (0, 0.0))[1]
+        regrow = snap.get("#regrow", (0, 0))[0]
+        fallback = snap.get("#exact_fallback", (0, 0))[0]
+        viol = snap.get("#viol_redo", (0, 0))[0]
+        up_n, up_b = snap.get("#upload_bytes", (0, 0.0))
+        fx_n, fx_b = snap.get("#fetch_bytes", (0, 0.0))
+        up_ms = snap.get("upload", (0, 0.0))
+        fx_ms = snap.get("fetch", (0, 0.0))
+        mb = (up_b + fx_b) / 1e6 / max(n_images, 1)
+        print(f"#   [{tag}] compiles={compiles} ({compile_ms:.0f} ms) "
+              f"regrow={regrow} exact_fallback={fallback} viol_redo={viol} "
+              f"upload={up_n}x/{up_b / 1e6:.2f}MB/"
+              f"{up_ms[1] / max(up_ms[0], 1):.0f}ms-avg "
+              f"fetch={fx_n}x/{fx_b / 1e6:.2f}MB/"
+              f"{fx_ms[1] / max(fx_ms[0], 1):.0f}ms-avg "
+              f"wire={mb:.3f} MB/image", file=sys.stderr)
+    except Exception as e:
+        print(f"#   [{tag}] attribution unavailable: {e}", file=sys.stderr)
+
+
 def main() -> int:
     from popsift_tpu.config import Config
     from popsift_tpu.pipeline import PopSift
 
+    cache_counters = _install_cache_counters()
     h, w = 1080, 1920
     config = Config()
-    # u8 descriptor transfer: 8-bit fixed point, within 1 bit of the
-    # reference's integer-rounded --write-as-uchar descriptor output
-    # (roundf on the 2^norm_multi scale, features.cu:316-319); halves
-    # the dominant D2H payload on the network-attached TPU.  Feature
-    # counts and keypoint numerics are unaffected (quantization happens
-    # at transfer, after extraction); full-precision f32/u16 transfer
-    # remains the library default.
-    config.set_desc_transfer("u8")
-    print("# desc_transfer=u8 (8-bit fixed point, ~reference uchar "
-          "output precision)", file=sys.stderr)
+    # u8p descriptor transfer: 8-bit fixed point (within 1 bit of the
+    # reference's integer-rounded --write-as-uchar descriptor output,
+    # roundf on the 2^norm_multi scale, features.cu:316-319) PLUS
+    # zero-run bitmap packing — bit-lossless vs u8
+    # (tests/test_staged.py) and ~35-45% fewer D2H bytes on typical
+    # descriptors, the dominant payload on the network-attached TPU.
+    # Feature counts and keypoint numerics are unaffected (quantization
+    # happens at transfer, after extraction); full-precision f32/u16
+    # transfer remains the library default.
+    config.set_desc_transfer("u8p")
+    print("# desc_transfer=u8p (8-bit fixed point + zero-bitmap packing, "
+          "~reference uchar output precision)", file=sys.stderr)
 
     # DISTINCT frames for every timed job: a real video/SfM stream never
     # repeats, so the pipeline's content-digest upload cache must not eat
@@ -138,8 +194,12 @@ def main() -> int:
                     for i in range(rep * len(warm_images))]
             feats = [j.get() for j in jobs]
         print(f"# warmup (compile) {time.time() - t0:.1f}s "
-              f"features={[f.get_feature_count() for f in feats]}",
+              f"features={[f.get_feature_count() for f in feats]} "
+              f"cache_hits={cache_counters['hits']}/"
+              f"{cache_counters['requests']} "
+              f"(saved {cache_counters['saved_sec']:.0f}s)",
               file=sys.stderr)
+        _pass_attribution("warmup", 3 * len(warm_images))
 
         # timed: pipelined throughput over DISTINCT frames,
         # enqueue-all-then-drain like the reference application
@@ -158,6 +218,7 @@ def main() -> int:
             print(f"# pass {p}: {dt_p * 1e3:.1f} ms/image "
                   f"({1.0 / dt_p:.2f} images/s, {n_feats} features)",
                   file=sys.stderr)
+            _pass_attribution(f"pass {p}", n_jobs)
             if dt_p < dt:
                 dt, total = dt_p, n_feats
         print(f"# per-pass ms/image: {pass_stats} (best pass reported; "

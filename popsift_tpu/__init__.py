@@ -32,18 +32,22 @@ def _enable_compilation_cache() -> None:
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
             return
         cache_dir = os.environ.get("POPSIFT_TPU_CACHE")
+        explicit = cache_dir is not None
         if cache_dir is None:
             cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                                      "popsift_tpu_xla")
-            # XLA:CPU caches AOT executables whose key does NOT include
-            # the host's machine features: an entry written on one host
-            # can SIGILL/SIGSEGV when deserialised on another (observed:
-            # a cache carried across container hosts crashed mid-test in
-            # jax _cache_read).  Scope the DEFAULT cache to a host
-            # fingerprint.  An EXPLICIT POPSIFT_TPU_CACHE is used
-            # verbatim — the caller takes responsibility (e.g. bench.py
-            # ships a repo-local cache of TPU executables, which are
-            # device code and host-independent).
+        # XLA:CPU caches AOT executables whose key does NOT include the
+        # host's machine features: an entry written on one host can
+        # SIGILL/SIGSEGV when deserialised on another (observed: a cache
+        # carried across container hosts crashed mid-test in jax
+        # _cache_read).  Scope any CPU-backend cache — default OR
+        # explicit — to a host fingerprint; TPU/accelerator executables
+        # are device code and host-independent, so an explicit
+        # POPSIFT_TPU_CACHE (e.g. bench.py's repo-shipped cache of TPU
+        # programs) is used verbatim on non-CPU backends only.
+        platforms = (os.environ.get("JAX_PLATFORMS", "")
+                     or getattr(jax.config, "jax_platforms", None) or "")
+        if platforms == "" or "cpu" in platforms.split(","):
             try:
                 with open("/proc/cpuinfo") as f:
                     flags = next((ln for ln in f
@@ -53,7 +57,17 @@ def _enable_compilation_cache() -> None:
                                      digest_size=4).hexdigest()
             except OSError:
                 fp = "generic"
-            cache_dir = os.path.join(cache_dir, fp)
+            if platforms == "" and explicit:
+                # backend auto-detect: the process may still land on an
+                # accelerator; resolve it (initialises the backend) so a
+                # TPU run keeps the verbatim shipped cache
+                try:
+                    if jax.default_backend() != "cpu":
+                        fp = None
+                except Exception:
+                    pass
+            if fp is not None:
+                cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -198,7 +198,12 @@ class PopSift:
             self._queue_download.put(None)
         for t in self._threads_download:
             t.join()
-        _trace_summary()
+        try:
+            _trace_summary()
+        except Exception as e:  # diagnostics must never fail shutdown
+            import sys
+            print(f"[warning] host-trace summary failed: {e}",
+                  file=sys.stderr)
         self._isInit = False
 
     def __del__(self) -> None:
@@ -332,11 +337,14 @@ class PopSift:
                         dev_buf = jax.device_put(buf, self._device)
                         dev = decode_u8(dev_buf, data.shape[0],
                                         data.shape[1], bits)
+                        _tr("upload_bytes", id(job), b=buf.nbytes)
                     elif data.dtype == np.uint8:
                         dev = jax.device_put(data, self._device)
+                        _tr("upload_bytes", id(job), b=data.nbytes)
                     else:
-                        dev = jax.device_put(
-                            normalize_input(data), self._device)
+                        norm = normalize_input(data)
+                        dev = jax.device_put(norm, self._device)
+                        _tr("upload_bytes", id(job), b=norm.nbytes)
                 with self._upload_lock:
                     cache.pop(key, None)
                     cache[key] = dev  # (re-)insert as most recent
@@ -407,7 +415,7 @@ class PopSift:
             batch = [job]
             others: list[SiftJob] = []
             ex = get_staged_extractor(job._config, job._w, job._h)
-            if ex._last_key5 is not None:
+            if ex.has_key():
                 while len(batch) < ex.BATCH:
                     try:
                         nxt = self._queue_stage2.get_nowait()
@@ -426,7 +434,7 @@ class PopSift:
                     else:
                         others.append(nxt)
                         break
-            if ex._last_key5 is not None:
+            if ex.has_key():
                 # short batches are padded inside extract_dispatch_batch
                 # (one program shape = one compile; a straggler-sized
                 # program would cost a whole extra XLA compile)

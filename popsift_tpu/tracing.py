@@ -37,17 +37,19 @@ def host_trace(tag: str, key, **kw) -> None:
         _trace_events.append((time.time(), tag, key, kw))
 
 
-def host_trace_summary() -> None:  # pragma: no cover - diagnostic only
-    if not HOSTTRACE or not _trace_events:
-        return
+def _collect_spans(events):
+    """Fold raw (t, tag, key, kwargs) events into named series.
+
+    ``<name>.start``/``.end`` pairs become duration spans (ms); kwarg
+    values become ``#<tag>`` series.  Non-numeric kwarg values are
+    counted, never aggregated (round-3 postmortem: a string kwarg made
+    np.asarray(..., float64) raise inside PopSift.uninit and the bench
+    never printed its JSON line)."""
     import collections
 
-    import numpy as np
-    ev = sorted(_trace_events)
-    _trace_events.clear()
     spans = collections.defaultdict(list)
     open_at = {}
-    for t, tag, key, kw in ev:
+    for t, tag, key, kw in sorted(events):
         if tag.endswith(".start"):
             open_at[(tag[:-6], key)] = t
         elif tag.endswith(".end"):
@@ -55,14 +57,43 @@ def host_trace_summary() -> None:  # pragma: no cover - diagnostic only
             if t0 is not None:
                 spans[tag[:-4]].append((t - t0) * 1e3)
         if kw:
-            spans.setdefault(f"#{tag}", []).append(next(iter(kw.values())))
+            v = next(iter(kw.values()))
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                v = 1.0  # count occurrences of non-numeric events
+            spans[f"#{tag}"].append(v)
+    return spans
+
+
+def host_trace_snapshot(clear: bool = False) -> dict:
+    """Per-pass attribution: return {name: (count, sum)} of all span /
+    kwarg series recorded so far; optionally clear the buffer.  The bench
+    calls this after every pass so compile events, regrow/fallback
+    counts, and wire bytes are attributable to the pass that incurred
+    them (round-3 verdict task 5)."""
+    spans = _collect_spans(_trace_events)
+    if clear:
+        _trace_events.clear()
+    return {name: (len(v), float(sum(v))) for name, v in spans.items()}
+
+
+def host_trace_summary() -> None:  # pragma: no cover - diagnostic only
+    if not HOSTTRACE or not _trace_events:
+        return
+    import numpy as np
+    spans = _collect_spans(_trace_events)
+    _trace_events.clear()
     print("# host trace:", file=sys.stderr)
     for name in sorted(spans):
-        v = np.asarray(spans[name], dtype=np.float64)
-        print(f"#   {name:22s} n={v.size:4d} mean={v.mean():8.2f} "
-              f"p50={np.percentile(v, 50):8.2f} "
-              f"p95={np.percentile(v, 95):8.2f} sum={v.sum():9.1f}",
-              file=sys.stderr)
+        try:
+            v = np.asarray(spans[name], dtype=np.float64)
+            print(f"#   {name:22s} n={v.size:4d} mean={v.mean():8.2f} "
+                  f"p50={np.percentile(v, 50):8.2f} "
+                  f"p95={np.percentile(v, 95):8.2f} sum={v.sum():9.1f}",
+                  file=sys.stderr)
+        except Exception as e:  # diagnostics must never fail shutdown
+            print(f"#   {name:22s} <unsummarizable: {e}>", file=sys.stderr)
 
 
 def scope(name: str):
