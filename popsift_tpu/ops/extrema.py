@@ -269,10 +269,18 @@ def compact_words(words: jnp.ndarray, cap: int):
 
 
 def detect_and_compact(dog: jnp.ndarray, sift_mode: SiftMode,
-                       peak_threshold: float, cap: int):
+                       peak_threshold: float, cap: int,
+                       true_dims: tuple | None = None):
     """Dense detection + candidate compaction, picking the fused
     Pallas detect+bitpack path on TPU for large planes (the bool mask
-    never round-trips HBM) and the mask path elsewhere."""
+    never round-trips HBM) and the mask path elsewhere.
+
+    ``true_dims=(h, w)``: true image dims when ``dog`` carries the fused
+    octave chain's block-alignment surplus — the surplus is sliced off
+    (it fuses into the detect kernels' own halo-pad copy) so border
+    exclusion and candidate raster coordinates stay reference-exact."""
+    if true_dims is not None and true_dims != dog.shape[-2:]:
+        dog = dog[:, :true_dims[0], :true_dims[1]]
     h, w = dog.shape[-2], dog.shape[-1]
     from ..kernels.dispatch import pallas_enabled
     if pallas_enabled() and h * w >= 256 * 1024:
@@ -341,7 +349,8 @@ def refine_extrema(dog: jnp.ndarray,
 def refine_extrema_multi(dogs, cands, sift_mode: SiftMode,
                          sigma0: float, sigma_k: float,
                          peak_threshold: float, edge_limit: float,
-                         grid_divs, grid_width: int):
+                         grid_divs, grid_width: int,
+                         true_dims=None):
     """Joint Newton refinement across octaves.
 
     One while_loop drives ALL octaves' candidates concatenated into one
@@ -388,8 +397,13 @@ def refine_extrema_multi(dogs, cands, sift_mode: SiftMode,
         return jnp.concatenate([
             jnp.full((n,), v, dtype) for n, v in zip(ns, vals)])
 
-    width = per_slot([d.shape[-1] for d in dogs], jnp.int32)
-    height = per_slot([d.shape[-2] for d in dogs], jnp.int32)
+    # boundary clamps/rejection use the TRUE image dims: a fused-chain
+    # DoG carries block-alignment surplus (edge-replicated values) that
+    # must not widen the reference's [border, dim-border) window
+    if true_dims is None:
+        true_dims = [(d.shape[-1], d.shape[-2]) for d in dogs]
+    width = per_slot([td[0] for td in true_dims], jnp.int32)
+    height = per_slot([td[1] for td in true_dims], jnp.int32)
     w_f = width.astype(jnp.float32)
     h_f = height.astype(jnp.float32)
     gwd = per_slot([g[0] for g in grid_divs], jnp.float32)

@@ -306,6 +306,144 @@ def build_pyramid(image: jnp.ndarray,
     return stacks
 
 
+def build_pyramid_dogs_fields(image: jnp.ndarray,
+                              gauss: GaussInfo,
+                              dims: tuple[tuple[int, int], ...],
+                              levels: int,
+                              gauss_mode: GaussMode,
+                              scaling_mode: ScalingMode,
+                              sift_mode: SiftMode,
+                              upscale_factor: float,
+                              pads: tuple[tuple[int, int], ...],
+                              full_stacks: bool):
+    """Scale space + DoG + gradient fields, with the fused octave-chain
+    kernel on eligible octaves.
+
+    The per-level path costs, at octave 0 of a 1080p frame, ~2.3 GB of
+    HBM traffic (per-level pad copies + slab re-reads + jnp.stack
+    re-assembly + a fourth full read by the gradient kernel) for ~0.9 GB
+    of mandatory output bytes.  Eligible octaves instead run
+    kernels/octave.py: ONE pass over the edge-padded level 0 computes
+    every level, every DoG layer and the interleaved [mag; theta] field
+    in VMEM — the TPU generalization of the reference's fused octave
+    kernels (s_pyramid_fixed.cu:69-120) to arbitrary incremental spans.
+
+    pads : per-octave gradient-field pads (extract.field_pads); only a
+        (0, 0) octave is eligible (its window consumers clamp their DMA
+        origins, so the chain's block-alignment surplus is harmless).
+    full_stacks : emit every blurred level (sampling descriptor modes
+        need the raw stack).  When False, eligible octaves emit ONLY
+        level ``levels`` (= L-3, the next octave's downscale source) and
+        return ``stacks[o] = None`` — the default loop-descriptor path
+        never reads the stack, and not writing it saves ~L x plane
+        bytes of HBM writes per octave.
+
+    Returns (stacks, dogs, fields).  Chain octaves' outputs carry
+    block-alignment surplus rows/lanes (edge-replicated, finite);
+    consumers mask by the true image dims (detect_and_compact
+    ``true_dims``, refine ``true_dims``, window kernels' explicit w/h).
+    """
+    L = levels + 3
+    fixed = gauss_mode in (GaussMode.FIXED9, GaussMode.FIXED15)
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels.octave import octave_chain_fused, octave_chain_ok
+
+    spans = (1,) + tuple(int(gauss.inc.span[lvl]) for lvl in range(1, L))
+    filters = ([np.ones(1, np.float32)]
+               + [np.asarray(gauss.inc.filter[lvl]) for lvl in range(1, L)])
+    import os
+    use_pallas = (pallas_enabled() and not fixed
+                  and os.environ.get("POPSIFT_TPU_NO_OCTCHAIN", "")
+                  in ("", "0"))
+
+    def eligible(octave: int) -> bool:
+        if not use_pallas or pads[octave] != (0, 0):
+            return False
+        if gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL and octave == 0:
+            return False  # all levels come from abs_o0, not the inc chain
+        w, h = dims[octave]
+        return octave_chain_ok(h, w, spans, emit_field=True)
+
+    if not any(eligible(o) for o in range(len(dims))):
+        from . import gradients as ops_grad
+        stacks, dogs = build_pyramid_and_dogs(
+            image, gauss, dims, levels, gauss_mode, scaling_mode,
+            sift_mode, upscale_factor)
+        fields = [ops_grad.gradient_field(s, *pads[o])
+                  for o, s in enumerate(stacks)]
+        return stacks, dogs, fields
+
+    from . import gradients as ops_grad
+    from ..kernels.blur import sep_blur_fused_with_dog
+
+    direct = scaling_mode == ScalingMode.SCALE_DIRECT
+    stacks: list = []
+    dogs: list = []
+    fields: list = []
+    down_srcs: list = []  # per-octave level L-3 (maybe with surplus)
+    for octave in range(len(dims)):
+        w, h = dims[octave]
+        shift = input_shift(sift_mode, upscale_factor, octave)
+        # level 0, exactly as build_pyramid_and_dogs builds it
+        if octave == 0:
+            if gauss_mode == GaussMode.VLFEAT_RELATIVE_ALL:
+                base = resample_input(image, h, w, shift)
+                t = gauss.abs_o0
+                stack = jnp.stack([
+                    _fused(base, t.filter[lvl], t.span[lvl], hscale=255.0)
+                    for lvl in range(L)])
+                stacks.append(stack)
+                dogs.append(make_dog(stack))
+                fields.append(ops_grad.gradient_field(stack, *pads[0]))
+                down_srcs.append(stack[L - PREV_LEVEL])
+                continue
+            base = resample_input(image, h, w, shift)
+            lvl0 = _fused(base, gauss.dd.filter[0], gauss.dd.span[0],
+                          gauss.inc.filter[0], gauss.inc.span[0],
+                          hscale=255.0)
+        elif direct:
+            base = resample_input(image, h, w, shift)
+            lvl0 = _fused(base, gauss.dd.filter[octave],
+                          gauss.dd.span[octave],
+                          gauss.inc.filter[0], gauss.inc.span[0],
+                          hscale=255.0)
+        else:
+            lvl0 = downscale_by_2(down_srcs[octave - 1])[:h, :w]
+
+        if eligible(octave):
+            if full_stacks:
+                stack, dog, field = octave_chain_fused(
+                    lvl0, filters, spans, emit_stack=True,
+                    emit_field=True)
+                down_srcs.append(stack[L - PREV_LEVEL])
+                stacks.append(stack)
+            else:
+                stack, dog, field = octave_chain_fused(
+                    lvl0, filters, spans, emit_stack=False,
+                    emit_field=True, stack_levels=(L - PREV_LEVEL,))
+                down_srcs.append(stack[0])
+                stacks.append(None)
+            dogs.append(dog)
+            fields.append(field)
+            continue
+
+        # per-level fallback (small octaves)
+        lvls = [lvl0]
+        lvl_dogs = []
+        for lvl in range(1, L):
+            nxt, dog = sep_blur_fused_with_dog(
+                lvls[lvl - 1], gauss.inc.filter[lvl],
+                int(gauss.inc.span[lvl]))
+            lvls.append(nxt)
+            lvl_dogs.append(dog)
+        stack = jnp.stack(lvls)
+        stacks.append(stack)
+        dogs.append(jnp.stack(lvl_dogs))
+        fields.append(ops_grad.gradient_field(stack, *pads[octave]))
+        down_srcs.append(stack[L - PREV_LEVEL])
+    return stacks, dogs, fields
+
+
 def build_pyramid_and_dogs(image: jnp.ndarray,
                            gauss: GaussInfo,
                            dims: tuple[tuple[int, int], ...],

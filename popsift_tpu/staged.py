@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 from typing import Any
 
 import jax
@@ -77,6 +78,11 @@ class StagedExtractor:
         self._fused_packed = {}
         self._fused_packed_batch = {}
         self._last_buckets = None
+        # Written ONLY by the collect/download thread (_update_buckets /
+        # first-frame bootstrap under _init_lock); the dispatch thread
+        # reads it through has_key() to decide batching.  A stale read
+        # is safe: None/old-key only costs one extra single-dispatch or
+        # a regrow round, never a wrong result.
         self._last_key5 = None
         # serialises first-frame key establishment across pipeline workers
         # (without it, N workers racing on frame 1 each derive their own
@@ -123,25 +129,35 @@ class StagedExtractor:
         if image.dtype == jnp.uint8:
             image = image.astype(jnp.float32) * (1.0 / 255.0)
         with scope("pyramid"):
-            stacks, dogs = ops_pyr.build_pyramid_and_dogs(
+            # pyramid + DoG + gradient fields; big octaves ride the
+            # fused octave-chain kernel (one VMEM pass per octave,
+            # kernels/octave.py — the s_pyramid_fixed.cu:69-120 shape).
+            # Without a sampling descriptor mode the raw stack is never
+            # read downstream, so chain octaves skip writing it
+            # (stacks[o] is None there; every consumer accepts that).
+            from .extract import field_pads
+            pads = tuple(field_pads(plan, plan.dims[o])
+                         for o in range(plan.octaves))
+            full_stacks = (plan.desc_mode != DescMode.LOOP
+                           or os.environ.get("POPSIFT_TPU_STACK_KERNELS",
+                                             "") not in ("", "0"))
+            stacks, dogs, grads = ops_pyr.build_pyramid_dogs_fields(
                 image, self.gauss, plan.dims, plan.levels, plan.gauss_mode,
-                plan.scaling_mode, plan.sift_mode, plan.upscale_factor)
+                plan.scaling_mode, plan.sift_mode, plan.upscale_factor,
+                pads, full_stacks)
         cands = []
         cand_counts = []
         cand_overflows = []
         with scope("detect"):
             for o in range(plan.octaves):
+                w, h = plan.dims[o]
                 cx, cy, cz, cvalid, ccount, coverflow = \
                     ops_ext.detect_and_compact(
                         dogs[o], plan.sift_mode, plan.peak_threshold,
-                        plan.cand_caps[o])
+                        plan.cand_caps[o], true_dims=(h, w))
                 cands.append((cx, cy, cz, cvalid))
                 cand_counts.append(ccount)
                 cand_overflows.append(coverflow)
-        with scope("gradients"):
-            from .extract import field_pads
-            grads = [ops_grad.gradient_field(s, *field_pads(plan, plan.dims[o]))
-                     for o, s in enumerate(stacks)]
         return dict(stacks=stacks, dogs=dogs, grads=grads, cands=cands,
                     cand_counts=jnp.stack(cand_counts),
                     cand_overflows=jnp.stack(cand_overflows))
@@ -166,7 +182,8 @@ class StagedExtractor:
                 plan.peak_threshold, plan.edge_limit,
                 [(plan.dims[o][0] / plan.filter_grid_size,
                   plan.dims[o][1] / plan.filter_grid_size)],
-                plan.filter_grid_size)[0]
+                plan.filter_grid_size,
+                true_dims=[plan.dims[o]])[0]
         exts = []
         for o in range(plan.octaves):
             ck = cks[o]
@@ -767,7 +784,10 @@ class StagedExtractor:
                 host_trace("compile.start", label)
                 out = fn(*a, **k)
                 host_trace("compile.end", label)
-                host_trace("compile_program", label, label=label)
+                # numeric kwarg only: host_trace_summary aggregates kwarg
+                # series as float64 (round-3 postmortem: a string kwarg
+                # here crashed PopSift.uninit and killed the bench)
+                host_trace("compile_program", label, n=1)
                 return out
             return fn(*a, **k)
 
@@ -823,6 +843,15 @@ class StagedExtractor:
                                    f"fusedB[{classed}]{key}")
             self._fused_packed_batch[(key, classed)] = fn
         return fn
+
+    def has_key(self) -> bool:
+        """True once a steady-state bucket key exists (the fused batch
+        program can be dispatched).  Deliberately racy-but-safe: the
+        dispatch thread polls this while the collect thread writes the
+        key (single writer); a stale False costs one extra
+        single-dispatch, a stale True one regrow round — never a wrong
+        result."""
+        return self._last_key5 is not None
 
     def extract_dispatch_batch(self, images):
         """Dispatch one fused program over up to BATCH images (async).
