@@ -146,21 +146,34 @@ def sharded_match(mesh: Mesh, ratio: float = 0.8):
             g2v = jnp.take_along_axis(cv2, b2[:, None], -1)[:, 0]
             g2i = jnp.take_along_axis(ci, b2[:, None], -1)[:, 0]
             accept = g1v / g2v < ratio
-            return (g1i.astype(jnp.int32), g2i.astype(jnp.int32),
-                    accept, g1v, g2v)
+            # All columns hold identical results here (deterministic
+            # combine of the all_gathered candidate set), but the static
+            # varying-axes checker cannot infer replication through
+            # argmin/take_along_axis.  Express it checkably: select
+            # column 0's copy through a psum (zeros elsewhere), whose
+            # vma rule PROVES model-invariance — so check_vma stays on
+            # and a spec regression fails loudly instead of producing
+            # wrong matches.  Cost: one (N,)-sized psum over ICI, noise
+            # next to the (N x S)-candidate all_gather above.
+            sel = col == 0
+
+            def rep(x):
+                return jax.lax.psum(
+                    jnp.where(sel, x, jnp.zeros_like(x)), "model")
+
+            return (rep(g1i.astype(jnp.int32)), rep(g2i.astype(jnp.int32)),
+                    rep(accept.astype(jnp.int32)).astype(bool),
+                    rep(g1v), rep(g2v))
 
         shard_map = getattr(jax, "shard_map", None)
         if shard_map is None:  # older jax
             from jax.experimental.shard_map import shard_map
-        # outputs are replicated over 'model' after the all_gather +
-        # deterministic combine; the static varying-axes check cannot infer
-        # that, hence check_vma=False
         return shard_map(
             kernel, mesh=mesh,
             in_specs=(P("data", None), P("model", None), P("model")),
             out_specs=(P("data"), P("data"), P("data"), P("data"),
                        P("data")),
-            check_vma=False,
+            check_vma=True,
         )(l_desc, r_desc, r_valid)
 
     return jax.jit(matcher)
