@@ -22,6 +22,27 @@ def _ensure(p: str) -> None:
     os.makedirs(p, exist_ok=True)
 
 
+def format_desc_row(x: float, y: float, sigma: float, ori_rad: float,
+                    desc, with_orientation: bool) -> str:
+    """One text row of Pyramid::writeDescriptor (sift_pyramid.cu:401-444),
+    byte-compatible with the C++ ostream output: setprecision(5) default
+    float format (= %.5g) throughout, trailing space before the newline.
+    Verified against a g++-compiled golden in tests/test_parity_format.py.
+
+    with_orientation=True is the dir-desc format (x y sigma dom_ori);
+    False is the dir-fpt format (x y 1/s^2 0 1/s^2)."""
+    import math
+    if with_orientation:
+        dom = ori_rad / (2.0 * math.pi) * 360.0
+        if dom < 0:
+            dom += 360.0
+        head = f"{x:.5g} {y:.5g} {sigma:.5g} {dom:.5g} "
+    else:
+        sv = 1.0 / (sigma * sigma)
+        head = f"{x:.5g} {y:.5g} {sv:.5g} 0 {sv:.5g} "
+    return head + " ".join(f"{float(v):.5g}" for v in desc) + " \n"
+
+
 def dump_all(config: Config, job, basename: str, base_dir: str = ".") -> None:
     """Dump pyramid/DoG images and descriptor text files for one job."""
     fn, plan = get_extractor(config, job._w, job._h, return_pyramid=True)
@@ -72,26 +93,17 @@ def dump_all(config: Config, job, basename: str, base_dir: str = ".") -> None:
     _ensure(fpt_dir)
 
     def write(path: str, with_orientation: bool) -> None:
-        import math
         with open(path, "w") as of:
             for f in feats:
                 # writeDescriptor scales the (already prep_features-scaled)
                 # coordinates again by 2^(octave-up) — reproduced faithfully
                 # (sift_pyramid.cu:407-412)
                 s = 2.0 ** (f.debug_octave - up)
-                x, y, sg = f.xpos * s, f.ypos * s, f.sigma * s
                 for k in range(f.num_ori):
                     d = f._descriptors[int(f.desc_idx[k])]
-                    if with_orientation:
-                        dom = f.orientation[k] / (2.0 * math.pi) * 360.0
-                        if dom < 0:
-                            dom += 360.0
-                        of.write(f"{x:.5g} {y:.5g} {sg:.5g} {dom:.5g} ")
-                    else:
-                        sv = 1.0 / (sg * sg)
-                        of.write(f"{x:.5g} {y:.5g} {sv:.5g} 0 {sv:.5g} ")
-                    of.write(" ".join(f"{float(v):.5g}" for v in d))
-                    of.write(" \n")
+                    of.write(format_desc_row(
+                        f.xpos * s, f.ypos * s, f.sigma * s,
+                        float(f.orientation[k]), d, with_orientation))
 
     write(os.path.join(desc_dir, f"desc-{basename}.txt"), True)
     write(os.path.join(fpt_dir, f"desc-{basename}.txt"), False)

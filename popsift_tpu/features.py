@@ -17,6 +17,7 @@ pointers — happens in :func:`assemble_features`.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Iterator
 
 import numpy as np
@@ -53,7 +54,11 @@ class Feature:
             ostr.write(f"{_g(self.xpos)} {_g(self.ypos)} "
                        f"{_g(sigval)} 0 {_g(sigval)} ")
             if write_as_uchar:
-                ostr.write(" ".join(str(int(round(float(v)))) for v in d))
+                # roundf = half away from zero (features.cu:318), NOT
+                # Python's banker's rounding: roundf(2.5)=3, round(2.5)=2
+                ostr.write(" ".join(
+                    str(int(math.copysign(math.floor(abs(float(v)) + 0.5),
+                                          float(v)))) for v in d))
             else:
                 ostr.write(" ".join(_g3(float(v)) for v in d))
             ostr.write(" \n")

@@ -84,11 +84,23 @@ def produce_output_tree(image: np.ndarray, out_dir: str) -> None:
     config = reference_protocol_config()
     dump_all(config, _JobShim(image), "pyramid", base_dir=out_dir)
 
-    # sort -n like the script; desc-pyramid.txt names come from dump_all
+    # sort -n exactly like the script (testOxfordDataset.sh.in:67-71):
+    # GNU sort's numeric-prefix ordering + byte-wise last-resort tie
+    # break, under LC_ALL=C, so the produced files are drop-in
+    # diffable against a reference-binary run's sorted outputs
     def sort_into(src: str, dst: str) -> None:
+        import subprocess
+        env = dict(os.environ, LC_ALL="C")
+        try:
+            with open(dst, "w") as f:
+                subprocess.run(["sort", "-n", src], stdout=f, env=env,
+                               check=True)
+            return
+        except (OSError, subprocess.CalledProcessError):
+            pass  # no coreutils: approximate in Python
         with open(src) as f:
             lines = f.readlines()
-        lines.sort(key=lambda ln: [float(t) for t in ln.split()[:4]])
+        lines.sort(key=lambda ln: (float(ln.split()[0] or 0), ln))
         with open(dst, "w") as f:
             f.writelines(lines)
 
@@ -108,13 +120,11 @@ def produce_output_tree(image: np.ndarray, out_dir: str) -> None:
                           return_pyramid=True)
     feats = assemble_features(fn(normalize_input(image)),
                               cfg.get_upscale_factor())
-    import io
-    buf = io.StringIO()
-    feats.print(buf, write_as_uchar=False)
-    lines = buf.getvalue().splitlines(keepends=True)
-    lines.sort(key=lambda ln: [float(t) for t in ln.split()[:4]])
-    with open(os.path.join(out_dir, "features.txt"), "w") as f:
-        f.writelines(lines)
+    raw = os.path.join(out_dir, "output-features.txt")
+    with open(raw, "w") as f:
+        feats.print(f, write_as_uchar=False)
+    sort_into(raw, os.path.join(out_dir, "features.txt"))
+    os.remove(raw)
 
     # trim to the compared layout
     for d in ("dir-octave-dump", "dir-dog-txt", "dir-dog-dump",
