@@ -131,13 +131,14 @@ def _kernel(dog_ref, out_ref, slabs, sems, *, levels, R, C, nC, h, w,
 
 @functools.partial(jax.jit,
                    static_argnames=("levels", "h", "w", "gate_lo",
-                                    "border", "interpret"))
+                                    "border", "nR", "nC", "interpret"))
 def _detect_pallas(dogp, levels: int, h: int, w: int, gate_lo: float,
-                   border: int, interpret: bool = False):
+                   border: int, nR: int = 0, nC: int = 0,
+                   interpret: bool = False):
     L = levels + 2
     R, C = _tile_dims(h, w)
-    nR = -(-h // R)
-    nC = -(-w // C)
+    nR = nR or -(-h // R)
+    nC = nC or -(-w // C)
     kern = functools.partial(_kernel, levels=levels, R=R, C=C, nC=nC,
                              h=h, w=w, gate_lo=gate_lo, border=border)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -170,13 +171,14 @@ def _tile_dims_packed(h: int, w: int) -> tuple[int, int]:
 
 @functools.partial(jax.jit,
                    static_argnames=("levels", "h", "w", "gate_lo",
-                                    "border", "interpret"))
+                                    "border", "nR", "nC", "interpret"))
 def _detect_packed(dogp, levels: int, h: int, w: int, gate_lo: float,
-                   border: int, interpret: bool = False):
+                   border: int, nR: int = 0, nC: int = 0,
+                   interpret: bool = False):
     L = levels + 2
     R, C = _tile_dims_packed(h, w)
-    nR = -(-h // R)
-    nC = -(-w // C)
+    nR = nR or -(-h // R)
+    nC = nC or -(-w // C)
     kern = functools.partial(_kernel, levels=levels, R=R, C=C, nC=nC,
                              h=h, w=w, gate_lo=gate_lo, border=border,
                              packed=True)
@@ -209,7 +211,8 @@ def _detect_packed(dogp, levels: int, h: int, w: int, gate_lo: float,
 
 def detect_packed_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
                          peak_threshold: float,
-                         interpret: bool | None = None) -> jnp.ndarray:
+                         interpret: bool | None = None,
+                         true_dims: tuple | None = None) -> jnp.ndarray:
     """Fused detection + sublane bit-packing.
 
     Returns a ``(levels, ceil(h/R)*R/32, ceil(w/C)*C)`` uint32 word volume:
@@ -218,14 +221,25 @@ def detect_packed_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
     padded rows/columns (``>= h``/``>= w``) are always zero (the in-bounds
     gate).  Consumed by :func:`popsift_tpu.ops.extrema.compact_words` —
     the mask never round-trips HBM as bools.
+
+    ``true_dims=(h, w)``: true image dims when ``dog`` carries the fused
+    octave chain's block-alignment surplus.  The surplus values (finite
+    edge replicas) take the place of halo-pad zeros directly — the
+    in-bounds gate keeps their mask bits zero — so the surplus costs NO
+    extra copy (a slice-to-true-dims followed by the halo pad was two
+    full-volume copies; XLA does not fuse them).
     """
-    L, h, w = dog.shape
+    L, hp, wp = dog.shape
+    h, w = true_dims if true_dims is not None else (hp, wp)
     levels = L - 2
     R, C = _tile_dims_packed(h, w)
-    nR = -(-h // R)
-    nC = -(-w // C)
-    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - h - 8),
-                         (128, nC * C + 256 - w - 128)))
+    # the grid covers the SURPLUS dims: tiles past the true image only
+    # produce gated-out zero bits (a few % extra detect work), which is
+    # far cheaper than a slice-to-true-dims copy of the whole volume
+    nR = -(-max(h, hp) // R)
+    nC = -(-max(w, wp) // C)
+    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - hp - 8),
+                         (128, nC * C + 256 - wp - 128)))
 
     import math
     t = float(peak_threshold)
@@ -237,25 +251,29 @@ def detect_packed_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
         gate_lo, border = 1.6 * t, 1
     from .dispatch import kernel_interpret
     return _detect_packed(dogp, levels, h, w, float(gate_lo), border,
+                          nR=nR, nC=nC,
                           interpret=kernel_interpret(interpret))
 
 
 def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
                   peak_threshold: float,
-                  interpret: bool | None = None) -> jnp.ndarray:
+                  interpret: bool | None = None,
+                  true_dims: tuple | None = None) -> jnp.ndarray:
     """Dense candidate mask via the tiled roll kernel.
 
     Numerics identical to the XLA path of
     :func:`popsift_tpu.ops.extrema.detect_candidates` (strict 26-neighbour
     comparison + mode contrast gate + border exclusion).
+    ``true_dims``: see :func:`detect_packed_pallas`.
     """
-    L, h, w = dog.shape
+    L, hp, wp = dog.shape
+    h, w = true_dims if true_dims is not None else (hp, wp)
     levels = L - 2
     R, C = _tile_dims(h, w)
-    nR = -(-h // R)
-    nC = -(-w // C)
-    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - h - 8),
-                         (128, nC * C + 256 - w - 128)))
+    nR = -(-max(h, hp) // R)
+    nC = -(-max(w, wp) // C)
+    dogp = jnp.pad(dog, ((0, 0), (8, nR * R + 16 - hp - 8),
+                         (128, nC * C + 256 - wp - 128)))
 
     import math
     t = float(peak_threshold)
@@ -267,4 +285,5 @@ def detect_pallas(dog: jnp.ndarray, sift_mode: SiftMode,
         gate_lo, border = 1.6 * t, 1
     from .dispatch import kernel_interpret
     return _detect_pallas(dogp, levels, h, w, float(gate_lo), border,
+                          nR=nR, nC=nC,
                           interpret=kernel_interpret(interpret))

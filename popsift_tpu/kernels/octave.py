@@ -87,6 +87,14 @@ def octave_chain_ok(h: int, w: int, spans, emit_field: bool) -> bool:
 
 
 def _row_block(h: int) -> int:
+    # Bigger row blocks amortize the vertical halo recompute (the chain's
+    # dominant VPU overhead): at 1080p octave 0 the kernel measures
+    # 7.24 / 5.87 / 5.43 ms for bh = 64 / 128 / 256 (xplane device trace).
+    # 256-row blocks need the raised vmem_limit_bytes below.
+    if h >= 1024:
+        return 256
+    if h >= 256:
+        return 128
     return 64 if h >= 64 else _round8(max(h, 8))
 
 
@@ -283,7 +291,9 @@ def _octave_chain_pallas(padded, taps, spans, h: int, w: int,
             # the tap chains of the widest levels keep many (rows, LF)
             # temporaries live — beyond the 16 MB default scoped limit
             # but a fraction of the 128 MB physical VMEM of v4/v5 cores
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # (100 MB admits the 256-row block whose smaller relative
+            # vertical halo is the kernel's main VPU-work lever)
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(padded)
     return outs

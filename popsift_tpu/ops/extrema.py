@@ -276,17 +276,19 @@ def detect_and_compact(dog: jnp.ndarray, sift_mode: SiftMode,
     never round-trips HBM) and the mask path elsewhere.
 
     ``true_dims=(h, w)``: true image dims when ``dog`` carries the fused
-    octave chain's block-alignment surplus — the surplus is sliced off
-    (it fuses into the detect kernels' own halo-pad copy) so border
-    exclusion and candidate raster coordinates stay reference-exact."""
-    if true_dims is not None and true_dims != dog.shape[-2:]:
-        dog = dog[:, :true_dims[0], :true_dims[1]]
-    h, w = dog.shape[-2], dog.shape[-1]
+    octave chain's block-alignment surplus.  The Pallas path folds the
+    surplus into its own halo pad for free (in-bounds gating keeps
+    border exclusion and candidate raster coordinates reference-exact);
+    the XLA path slices it off."""
+    h, w = true_dims if true_dims is not None else dog.shape[-2:]
     from ..kernels.dispatch import pallas_enabled
     if pallas_enabled() and h * w >= 256 * 1024:
         from ..kernels.detect import detect_packed_pallas
-        words = detect_packed_pallas(dog, sift_mode, peak_threshold)
+        words = detect_packed_pallas(dog, sift_mode, peak_threshold,
+                                     true_dims=(h, w))
         return compact_words(words, cap)
+    if (h, w) != dog.shape[-2:]:
+        dog = dog[:, :h, :w]
     mask = detect_candidates(dog, sift_mode, peak_threshold)
     return compact_mask(mask, cap)
 

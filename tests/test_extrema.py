@@ -125,3 +125,41 @@ def test_cell_ids():
     ext = _find(dog, SiftMode.POPSIFT)
     # grid 2x2 on 48x40: (36,30) is in the bottom-right cell => id 3
     assert int(ext.cell[0]) == 3
+
+
+def test_detect_and_compact_surplus_parity():
+    """A DoG volume carrying fused-chain block-alignment surplus
+    (edge-replicated rows/cols) must yield exactly the candidates of the
+    exact-dims volume when true_dims is passed — including the Pallas
+    kernels' pad-from-surplus path (exercised in interpret mode via the
+    kernel wrappers directly)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from popsift_tpu.config import SiftMode
+    from popsift_tpu.kernels.detect import detect_packed_pallas
+    from popsift_tpu.ops.extrema import (compact_words, detect_and_compact)
+
+    rng = np.random.default_rng(21)
+    L, h, w = 5, 43, 150
+    dog = (rng.random((L, h, w)).astype(np.float32) - 0.5) * 30.0
+    hp, wp = 64, 256  # block-rounded surplus
+    sur = np.empty((L, hp, wp), np.float32)
+    sur[:, :h, :w] = dog
+    sur[:, h:, :w] = dog[:, h - 1:h, :]
+    sur[:, :, w:] = sur[:, :, w - 1:w]
+
+    for mode in (SiftMode.POPSIFT, SiftMode.OPENCV):
+        ref = detect_and_compact(jnp.asarray(dog), mode, 1.0, 64)
+        got = detect_and_compact(jnp.asarray(sur), mode, 1.0, 64,
+                                 true_dims=(h, w))
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the packed Pallas wrapper, pad-from-surplus vs exact
+        wa = detect_packed_pallas(jnp.asarray(dog), mode, 1.0,
+                                  interpret=True)
+        wb = detect_packed_pallas(jnp.asarray(sur), mode, 1.0,
+                                  interpret=True, true_dims=(h, w))
+        ca = compact_words(wa, 64)
+        cb = compact_words(wb, 64)
+        for a, b in zip(ca, cb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

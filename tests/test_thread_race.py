@@ -70,6 +70,7 @@ def test_wire_prefix_no_deque_race():
     assert not errs
 
 
+@pytest.mark.slow
 def test_stress_mixed_sizes_failures_and_config_swaps():
     """Hundreds of mixed-size enqueues with injected upload failures and
     a mid-stream configure() swap; asserts per-job integrity (every job
@@ -133,6 +134,7 @@ def test_stress_mixed_sizes_failures_and_config_swaps():
         wc.encode_u8_digest = orig_encode
 
 
+@pytest.mark.slow
 def test_concurrent_first_frames_single_key():
     """N workers racing on the very first frames must agree on ONE bucket
     key (the _init_lock serialises establishment) instead of compiling N

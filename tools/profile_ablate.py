@@ -119,6 +119,31 @@ def main():
         dogs = [s[1:] - s[:-1] for s in stacks]
         return stacks, dogs
 
+    # chain-aware producer stub: the product path is now
+    # build_pyramid_dogs_fields (fused octave chain on eligible octaves,
+    # per-level + gradient_field elsewhere); eval_shape on the REAL
+    # producer gives the exact output tree (incl. chain block-alignment
+    # surplus dims and None stacks) without doing the work.
+    orig_pdf = ops_pyr_mod.build_pyramid_dogs_fields
+    _pdf_shapes = {}
+
+    def no_pyrgrad(image, gauss, dims, levels, gauss_mode, scaling_mode,
+                   sift_mode, upscale_factor, pads, full_stacks):
+        kk = (image.shape, dims, levels, gauss_mode, scaling_mode,
+              sift_mode, upscale_factor, pads, full_stacks)
+        if kk not in _pdf_shapes:
+            _pdf_shapes[kk] = jax.eval_shape(
+                lambda im: orig_pdf(im, gauss, dims, levels, gauss_mode,
+                                    scaling_mode, sift_mode,
+                                    upscale_factor, pads, full_stacks),
+                jax.ShapeDtypeStruct(image.shape, image.dtype))
+        stacks_s, dogs_s, fields_s = _pdf_shapes[kk]
+        v = image[0, 0].astype(jnp.float32)
+        mk = lambda s: (None if s is None
+                        else jnp.zeros(s.shape, s.dtype) + v)
+        return ([mk(s) for s in stacks_s], [mk(s) for s in dogs_s],
+                [mk(s) for s in fields_s])
+
     def no_finalize(exts, oris, descs, angds, ks, bs, ft, bt):
         # shape-identical output, no packing work; the dep sum keeps
         # every upstream stage (incl. descriptors) alive through DCE
@@ -147,7 +172,7 @@ def main():
                      patched(ops_grad, "gradient_field", no_grad)]),
         ("no-detect", [patched(ops_ext, "detect_candidates", no_det),
                        patched(ops_ext, "detect_and_compact",
-                               lambda dog, m, t, cap: (
+                               lambda dog, m, t, cap, true_dims=None: (
                                    lambda n: (
                                        jnp.where(jnp.arange(cap) < n, 1, 1),
                                        jnp.where(jnp.arange(cap) < n, 1, 1),
@@ -166,8 +191,26 @@ def main():
                              no_desc_classed)]),
         ("no-pyr", [patched(ops_pyr_mod, "build_pyramid_and_dogs",
                             no_pyr)]),
+        ("no-pyrgrad", [patched(ops_pyr_mod, "build_pyramid_dogs_fields",
+                                no_pyrgrad)]),
         ("no-finalize", [patched(ex, "_finalize_body", no_finalize)]),
     ]
+    # chain-internal ablations: same kernel structure minus one piece of
+    # in-VMEM math — the marginal cost of that math inside the chain
+    import popsift_tpu.kernels.octave as k_oct
+    orig_chain = k_oct.octave_chain_fused
+    for abl in ("grad_math", "clamp"):
+        def chain_abl(lvl0, filters, spans, emit_stack, emit_field,
+                      stack_levels=(), interpret=None, _ablate=(),
+                      _a=abl):
+            return orig_chain(lvl0, filters, spans, emit_stack,
+                              emit_field, stack_levels, interpret,
+                              _ablate=(_a,))
+        # pyramid.py imports the chain at call time, so patching the
+        # kernels module is sufficient
+        variants.append((f"chain-no-{abl}",
+                         [patched(k_oct, "octave_chain_fused",
+                                  chain_abl)]))
 
     def slope(fn):
         def run(k):
