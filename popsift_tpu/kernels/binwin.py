@@ -42,9 +42,16 @@ def _win_rows(win: int) -> int:
 
 
 def _start_slab_dmas(field_ref, slabs, sems, lp_ref, lt_ref, ya_ref,
-                     xa_ref, win_y):
+                     xa_ref, win_y, vl_ref=None):
     """Shared deep-pipelined double-DMA schedule: per slot, the mag slab
-    (level lp) and the theta slab (level lt) of the [mag; theta] field."""
+    (level lp) and the theta slab (level lt) of the [mag; theta] field.
+
+    ``vl_ref``: per-slot valid flags; INVALID slots skip both window
+    DMAs (start AND wait are gated on the same flag, so the semaphore
+    stays balanced).  Capacity slots are sized for the worst case
+    (bucket caps), so a typical frame leaves 30-60% of slots invalid —
+    skipping their DMAs removes that fraction of the kernel's HBM
+    traffic and latency stalls for free."""
     g = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -58,19 +65,31 @@ def _start_slab_dmas(field_ref, slabs, sems, lp_ref, lt_ref, ya_ref,
             sems.at[slot, which],
         )
 
+    def start(i, slot):
+        def go():
+            for which in (0, 1):
+                mk(i, which, slot).start()
+        if vl_ref is None:
+            go()
+        else:
+            pl.when(vl_ref[i] != 0)(go)
+
     @pl.when(g == 0)
     def _():
         for j in range(min(_DEPTH - 1, n)):
-            for which in (0, 1):
-                mk(j, which, j % _DEPTH).start()
+            start(j, j % _DEPTH)
 
     @pl.when(g + _DEPTH - 1 < n)
     def _():
-        for which in (0, 1):
-            mk(g + _DEPTH - 1, which, (g + _DEPTH - 1) % _DEPTH).start()
+        start(g + _DEPTH - 1, (g + _DEPTH - 1) % _DEPTH)
 
-    for which in (0, 1):
-        mk(g, which, g % _DEPTH).wait()
+    def wait():
+        for which in (0, 1):
+            mk(g, which, g % _DEPTH).wait()
+    if vl_ref is None:
+        wait()
+    else:
+        pl.when(vl_ref[g] != 0)(wait)
     return g
 
 
@@ -82,50 +101,59 @@ def _ori_kernel(lp_ref, lt_ref, ya_ref, xa_ref, dx_ref, xf_ref, yf_ref,
                 sg_ref, vl_ref, field_ref, out_ref, slabs, sems,
                 *, win_y: int, w: int, h: int, pad_y: int, pad_x: int):
     g = _start_slab_dmas(field_ref, slabs, sems, lp_ref, lt_ref,
-                         ya_ref, xa_ref, win_y)
+                         ya_ref, xa_ref, win_y, vl_ref=vl_ref)
 
-    dx = dx_ref[g]
-    mw = pltpu.roll(slabs[g % _DEPTH, 0], -dx, 1)[:, :128]
-    tw = pltpu.roll(slabs[g % _DEPTH, 1], -dx, 1)[:, :128]
-
-    x = xf_ref[g]
-    y = yf_ref[g]
-    sigma = sg_ref[g]
     valid = vl_ref[g]
-    rx = jnp.round(x).astype(jnp.int32)
-    ry = jnp.round(y).astype(jnp.int32)
-    rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
-    # origin of the rolled window in unpadded image coords: columns start
-    # exactly at x0 = rx - win//2 (lane roll), rows at the 8-aligned ya
-    x0 = xa_ref[g] + dx - pad_x
-    y0 = ya_ref[g] - pad_y
 
-    jj = x0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 1)
-    ii = y0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 0)
+    @pl.when(valid > 0)
+    def _():
+        dx = dx_ref[g]
+        mw = pltpu.roll(slabs[g % _DEPTH, 0], -dx, 1)[:, :128]
+        tw = pltpu.roll(slabs[g % _DEPTH, 1], -dx, 1)[:, :128]
 
-    xmin = jnp.maximum(1, rx - rad)
-    xmax = jnp.minimum(w - 2, rx + rad)
-    ymin = jnp.maximum(1, ry - rad)
-    ymax = jnp.minimum(h - 2, ry + rad)
-    in_xy = (jj >= xmin) & (jj <= xmax) & (ii >= ymin) & (ii <= ymax)
+        x = xf_ref[g]
+        y = yf_ref[g]
+        sigma = sg_ref[g]
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        rad = jnp.round(3.0 * (ORI_WINFACTOR * sigma)).astype(jnp.int32)
+        # origin of the rolled window in unpadded image coords: columns
+        # start exactly at x0 = rx - win//2 (lane roll), rows at the
+        # 8-aligned ya
+        x0 = xa_ref[g] + dx - pad_x
+        y0 = ya_ref[g] - pad_y
 
-    dxf = jj.astype(jnp.float32) - x
-    dyf = ii.astype(jnp.float32) - y
-    # int truncation of the squared distance (s_orientation.cu:142)
-    sq = (dxf * dxf + dyf * dyf).astype(jnp.int32)
-    sigw = ORI_WINFACTOR * sigma
-    factor = -0.5 / (sigw * sigw)
-    inside = (sq <= rad * rad) & in_xy & (valid > 0)
+        jj = x0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 1)
+        ii = y0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 0)
 
-    weight = jnp.where(
-        inside, mw * jnp.exp(sq.astype(jnp.float32) * factor), 0.0)
+        xmin = jnp.maximum(1, rx - rad)
+        xmax = jnp.minimum(w - 2, rx + rad)
+        ymin = jnp.maximum(1, ry - rad)
+        ymax = jnp.minimum(h - 2, ry + rad)
+        in_xy = (jj >= xmin) & (jj <= xmax) & (ii >= ymin) & (ii <= ymax)
 
-    bidx = jnp.round(ORI_NBINS * (tw + math.pi) / M_PI2).astype(jnp.int32)
-    bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
+        dxf = jj.astype(jnp.float32) - x
+        dyf = ii.astype(jnp.float32) - y
+        # int truncation of the squared distance (s_orientation.cu:142)
+        sq = (dxf * dxf + dyf * dyf).astype(jnp.int32)
+        sigw = ORI_WINFACTOR * sigma
+        factor = -0.5 / (sigw * sigw)
+        inside = (sq <= rad * rad) & in_xy
 
-    cols = [jnp.sum(jnp.where(bidx == b, weight, 0.0))
-            for b in range(ORI_NBINS)]
-    out_ref[0, 0, :] = jnp.stack(cols)
+        weight = jnp.where(
+            inside, mw * jnp.exp(sq.astype(jnp.float32) * factor), 0.0)
+
+        bidx = (jnp.round(ORI_NBINS * (tw + math.pi) / M_PI2)
+                .astype(jnp.int32))
+        bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
+
+        cols = [jnp.sum(jnp.where(bidx == b, weight, 0.0))
+                for b in range(ORI_NBINS)]
+        out_ref[0, 0, :] = jnp.stack(cols)
+
+    @pl.when(valid <= 0)
+    def _():
+        out_ref[0, 0, :] = jnp.zeros((ORI_NBINS,), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "w", "h", "pad_y",
@@ -199,74 +227,84 @@ def _desc_kernel(lp_ref, lt_ref, ya_ref, xa_ref, dx_ref, xf_ref, yf_ref,
                  *, win_y: int, w: int, h: int, pad_y: int, pad_x: int,
                  magnify: float):
     g = _start_slab_dmas(field_ref, slabs, sems, lp_ref, lt_ref,
-                         ya_ref, xa_ref, win_y)
+                         ya_ref, xa_ref, win_y, vl_ref=vl_ref)
 
-    dx = dx_ref[g]
-    mw = pltpu.roll(slabs[g % _DEPTH, 0], -dx, 1)[:, :128]
-    tw = pltpu.roll(slabs[g % _DEPTH, 1], -dx, 1)[:, :128]
-
-    x = xf_ref[g]
-    y = yf_ref[g]
-    sig = sg_ref[g]
-    ang = ag_ref[g]
     valid = vl_ref[g]
 
-    sbp = jnp.abs(magnify * sig)
-    ok = (valid > 0) & (sbp > 0.0)
-    safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
-    cos_t = jnp.cos(ang)
-    sin_t = jnp.sin(ang)
+    @pl.when(valid > 0)
+    def _():
+        dx = dx_ref[g]
+        mw = pltpu.roll(slabs[g % _DEPTH, 0], -dx, 1)[:, :128]
+        tw = pltpu.roll(slabs[g % _DEPTH, 1], -dx, 1)[:, :128]
 
-    x0 = xa_ref[g] + dx - pad_x
-    y0 = ya_ref[g] - pad_y
-    jj = x0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 1)
-    ii = y0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 0)
-    dxf = jj.astype(jnp.float32) - x
-    dyf = ii.astype(jnp.float32) - y
+        x = xf_ref[g]
+        y = yf_ref[g]
+        sig = sg_ref[g]
+        ang = ag_ref[g]
 
-    # rotated coordinates in SBP units (s_desc_loop.cu:87-90)
-    ux = (cos_t * dxf + sin_t * dyf) / safe_sbp
-    uy = (cos_t * dyf - sin_t * dxf) / safe_sbp
-    ww = jnp.exp(-(ux * ux + uy * uy) / 8.0)
+        sbp = jnp.abs(magnify * sig)
+        ok = sbp > 0.0
+        safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
+        cos_t = jnp.cos(ang)
+        sin_t = jnp.sin(ang)
 
-    in_img = (jj >= 1) & (jj <= w - 2) & (ii >= 1) & (ii <= h - 2)
-    wgt = jnp.where(in_img & ok, mw * ww, 0.0)
+        x0 = xa_ref[g] + dx - pad_x
+        y0 = ya_ref[g] - pad_y
+        jj = x0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 1)
+        ii = y0 + jax.lax.broadcasted_iota(jnp.int32, (win_y, 128), 0)
+        dxf = jj.astype(jnp.float32) - x
+        dyf = ii.astype(jnp.float32) - y
 
-    th = tw - ang
-    th = jnp.where(th < 0.0, th + M_PI2, th)
-    th = jnp.where(th >= M_PI2, th - M_PI2, th)
-    tth = th * M_4RPI
-    fo0 = jnp.floor(tth).astype(jnp.int32)
-    do0 = tth - fo0.astype(jnp.float32)
-    fo0 = jnp.clip(fo0, 0, 7)
-    fo1 = jnp.where(fo0 + 1 == 8, 0, fo0 + 1)
+        # rotated coordinates in SBP units (s_desc_loop.cu:87-90)
+        ux = (cos_t * dxf + sin_t * dyf) / safe_sbp
+        uy = (cos_t * dyf - sin_t * dxf) / safe_sbp
+        ww = jnp.exp(-(ux * ux + uy * uy) / 8.0)
 
-    lo = wgt * (1.0 - do0)
-    hi = wgt * do0
+        in_img = (jj >= 1) & (jj <= w - 2) & (ii >= 1) & (ii <= h - 2)
+        wgt = jnp.where(in_img & ok, mw * ww, 0.0)
 
-    # spatial tile weights: 4 full (win_y, 128) triangle windows per
-    # axis, tile centres at -1.5..1.5 (s_desc_loop.cu:57-58).  Kept as
-    # separate 2-D windows — a (win_y, 128, 4) tensor puts 4 on the lane
-    # axis, which Mosaic pads to 128 lanes (32x VMEM).
-    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ux - (tx - 1.5)))
-           for tx in range(4)]
-    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(uy - (ty - 1.5)))
-           for ty in range(4)]
+        th = tw - ang
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+        th = jnp.where(th >= M_PI2, th - M_PI2, th)
+        tth = th * M_4RPI
+        fo0 = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo0.astype(jnp.float32)
+        fo0 = jnp.clip(fo0, 0, 7)
+        fo1 = jnp.where(fo0 + 1 == 8, 0, fo0 + 1)
 
-    # D[b, ty, tx] = sum_{r,c} wy_ty wx_tx A_b over the window, with
-    # A_b = (fo0==b)*lo + (fo1==b)*hi — 128 full-window fused
-    # multiply-reduces, entirely in VMEM (static loops over 8 bins x 16
-    # tiles).  The output stays in [b][ty][tx] layout: Mosaic cannot
-    # shape-cast (4,4,8)->(128), so scalars land in a (1,8,4,4) block
-    # and the [ty][tx][b] reorder happens outside the kernel in XLA.
-    for b in range(8):
-        a_b = jnp.where(fo0 == b, lo, 0.0) + jnp.where(fo1 == b, hi, 0.0)
-        rows = []
-        for ty in range(4):
-            m = a_b * wys[ty]
-            rows.append(jnp.stack([jnp.sum(m * wxs[tx])
-                                   for tx in range(4)]))
-        out_ref[0, b] = jnp.stack(rows)    # (4ty, 4tx) vector store
+        lo = wgt * (1.0 - do0)
+        hi = wgt * do0
+
+        # spatial tile weights: 4 full (win_y, 128) triangle windows per
+        # axis, tile centres at -1.5..1.5 (s_desc_loop.cu:57-58).  Kept
+        # as separate 2-D windows — a (win_y, 128, 4) tensor puts 4 on
+        # the lane axis, which Mosaic pads to 128 lanes (32x VMEM).
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ux - (tx - 1.5)))
+               for tx in range(4)]
+        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(uy - (ty - 1.5)))
+               for ty in range(4)]
+
+        # D[b, ty, tx] = sum_{r,c} wy_ty wx_tx A_b over the window, with
+        # A_b = (fo0==b)*lo + (fo1==b)*hi — 128 full-window fused
+        # multiply-reduces, entirely in VMEM (static loops over 8 bins x
+        # 16 tiles).  The output stays in [b][ty][tx] layout: Mosaic
+        # cannot shape-cast (4,4,8)->(128), so scalars land in a
+        # (1,8,4,4) block and the [ty][tx][b] reorder happens outside
+        # the kernel in XLA.
+        for b in range(8):
+            a_b = (jnp.where(fo0 == b, lo, 0.0)
+                   + jnp.where(fo1 == b, hi, 0.0))
+            rows = []
+            for ty in range(4):
+                m = a_b * wys[ty]
+                rows.append(jnp.stack([jnp.sum(m * wxs[tx])
+                                       for tx in range(4)]))
+            out_ref[0, b] = jnp.stack(rows)  # (4ty, 4tx) vector store
+
+    @pl.when(valid <= 0)
+    def _():
+        for b in range(8):
+            out_ref[0, b] = jnp.zeros((4, 4), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "w", "h", "pad_y",
