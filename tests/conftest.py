@@ -47,3 +47,28 @@ def textured_image():
                + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 5.0
     img = (img - img.min()) / (img.max() - img.min())
     return (img * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_compiled_executables():
+    """Unmap compiled XLA:CPU executables between test modules.
+
+    Every CPU executable XLA JITs stays mmapped for the life of the jit
+    cache entry; a full-suite process accumulates mappings at ~10k/min
+    and crosses the kernel's vm.max_map_count (default 65530) around
+    test ~130, at which point LLVM's memory manager gets ENOMEM and the
+    process dies with SIGABRT/SIGSEGV inside compilation-cache
+    read/write (observed 4x at the same suite position).  Clearing the
+    jit caches at module teardown releases the executables; re-entry
+    costs a persistent-cache deserialise, not a recompile.  The staged
+    extractor LRU is cleared too so its jit wrappers do not pin their
+    programs."""
+    yield
+    import jax
+
+    try:
+        from popsift_tpu.staged import get_staged_extractor
+        get_staged_extractor.cache_clear()
+    except Exception:
+        pass
+    jax.clear_caches()
