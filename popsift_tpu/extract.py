@@ -202,14 +202,30 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
         pad_y, pad_x = aligned_window_dims(plan.desc_win)
         stackp = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)),
                          mode="edge")
+        # sampling modes: MXU-contracted sampling (the fast path;
+        # POPSIFT_TPU_DESC_MM=0 falls back to the gather forms)
+        import os
+        mm = os.environ.get("POPSIFT_TPU_DESC_MM", "1") not in ("", "0")
         if plan.desc_mode == DescMode.ILOOP:
+            if mm:
+                return ops_desc.iloop_descriptors_windowed_mm(
+                    stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
+                    w, h, plan.desc_win)
             return ops_desc.iloop_descriptors_windowed(
                 stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
                 w, h, plan.desc_win)
         if plan.desc_mode == DescMode.GRID:
+            if mm:
+                return ops_desc.grid_rounded_descriptors_windowed_mm(
+                    stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
+                    w, h, plan.desc_win)
             return ops_desc.grid_rounded_descriptors_windowed(
                 stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
                 w, h, plan.desc_win)
+        if mm:
+            return ops_desc.grid_descriptors_windowed_mm(
+                stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
+                plan.desc_win, consts.desc_gauss, consts.desc_tile)
         return ops_desc.grid_descriptors_windowed(
             stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,
             plan.desc_win, consts.desc_gauss, consts.desc_tile)

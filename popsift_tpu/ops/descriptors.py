@@ -526,6 +526,291 @@ def grid_descriptors_windowed(stackp: jnp.ndarray, pad_y: int, pad_x: int,
     return out.reshape(n_chunks * chunk, 128)[:cap]
 
 
+def grid_descriptors_windowed_mm(stackp: jnp.ndarray,
+                                 pad_y: int, pad_x: int,
+                                 xpos, ypos, lpos, sigma, ang, valid,
+                                 w: int, h: int, win: int,
+                                 desc_gauss: np.ndarray,
+                                 desc_tile: np.ndarray,
+                                 rounded: bool = False,
+                                 chunk: int = 32) -> jnp.ndarray:
+    """NoTile/IGrid descriptors with MXU-contracted bilinear sampling —
+    the TPU speed path (round-4 VERDICT task 2).
+
+    Same numerics as :func:`grid_descriptors_windowed` (the rotated 40x40
+    grid of s_desc_notile.cu:31-129 over the same DMA'd windows), but the
+    per-sample bilinear reads are reformulated as separable triangle
+    contractions instead of gathers: the bilinear weight of window pixel
+    (r, c) for sample s factorises as tri(r - py_s) * tri(c - px_s) with
+    tri(t) = max(0, 1 - |t|), so
+
+        sample_s = sum_r triY[r, s] * (W @ triX)[r, s]
+
+    — one (win_y, 128) x (128, S) matmul per slot per gradient-offset
+    variant (the MXU's native shape) plus an elementwise reduce, instead
+    of 4 taps x S serialised gather lanes.  ``jnp.take``-based sampling
+    is the only XLA lowering difference; every weight and gate matches
+    the gather form to float rounding (tests/test_desc_modes.py pins
+    mm-vs-gather agreement).
+
+    The matmuls run at Precision.HIGHEST: the gradient is a difference
+    of near-equal samples, so the 3-pass bf16 default would surface as
+    relative error in ``mod``/``th`` beyond float32 noise.
+    """
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    steps = jnp.asarray(_grid_steps())
+    TX = jnp.asarray(_tile_weight_matrix(np.asarray(desc_tile)))
+    G = jnp.asarray(desc_gauss)
+    bins = jnp.arange(8, dtype=jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+        x0f = x0.astype(jnp.float32)
+        y0f = (ya - pad_y).astype(jnp.float32)
+
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+
+        sx = steps[None, None, :]                     # (1, 1, 40x)
+        sy = steps[None, :, None]                     # (1, 40y, 1)
+        ct = cos_t[:, None, None]
+        st = sin_t[:, None, None]
+        px = x[:, None, None] + (ct * sx - st * sy) * sbp[:, None, None]
+        py = y[:, None, None] + (ct * sy + st * sx) * sbp[:, None, None]
+        if rounded:
+            px = jnp.round(px)
+            py = jnp.round(py)
+        pxr = (px - x0f[:, None, None]).reshape(px.shape[0], -1)
+        pyr = (py - y0f[:, None, None]).reshape(py.shape[0], -1)
+
+        # image bounds in window-local coordinates (texture clamp
+        # addressing); the [0, 127] / [0, win_y-1] clip is the same
+        # out-of-contract backstop as _bilinear_win's index clips
+        xlo, xhi = 0.0 - x0f, (w - 1.0) - x0f
+        ylo, yhi = 0.0 - y0f, (h - 1.0) - y0f
+
+        cc = jnp.arange(128, dtype=jnp.float32)
+        rr = jnp.arange(win_y, dtype=jnp.float32)
+
+        def sample(dcx, dcy):
+            ppx = jnp.clip(jnp.clip(pxr + dcx[:, None],
+                                    xlo[:, None], xhi[:, None]),
+                           0.0, 127.0)
+            ppy = jnp.clip(jnp.clip(pyr + dcy[:, None],
+                                    ylo[:, None], yhi[:, None]),
+                           0.0, win_y - 1.0)
+            triX = jnp.maximum(
+                0.0, 1.0 - jnp.abs(cc[None, :, None] - ppx[:, None, :]))
+            triY = jnp.maximum(
+                0.0, 1.0 - jnp.abs(rr[None, :, None] - ppy[:, None, :]))
+            m1 = jnp.einsum("nrc,ncs->nrs", wins, triX, precision=hp)
+            return jnp.sum(m1 * triY, axis=1)          # (n, 1600)
+
+        dx = sample(cos_t, sin_t) - sample(-cos_t, -sin_t)
+        dy = sample(-sin_t, cos_t) - sample(sin_t, -cos_t)
+        mod = jnp.hypot(dx, dy).reshape(-1, 40, 40)
+        th = jnp.arctan2(dy, dx).reshape(-1, 40, 40)
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+
+        tth = th * M_4RPI
+        fo = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo.astype(jnp.float32)
+        fo0 = fo & 7
+        fo1 = (fo0 + 1) & 7
+
+        ww = jnp.where(ok[:, None, None], G[None] * mod, 0.0)
+        A = ((fo0[..., None] == bins) * ((1.0 - do0) * ww)[..., None]
+             + (fo1[..., None] == bins) * (do0 * ww)[..., None])
+        B = jnp.einsum("nyxb,xt->nytb", A, TX,
+                       preferred_element_type=jnp.float32)
+        D = jnp.einsum("nytb,ys->nstb", B, TX,
+                       preferred_element_type=jnp.float32)
+        return D.reshape(-1, 128)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+def grid_rounded_descriptors_windowed_mm(stackp: jnp.ndarray,
+                                         pad_y: int, pad_x: int,
+                                         xpos, ypos, lpos, sigma, ang,
+                                         valid,
+                                         w: int, h: int, win: int,
+                                         chunk: int = 16) -> jnp.ndarray:
+    """Grid-mode descriptors with MXU-contracted point sampling — the
+    TPU speed path for DescMode.GRID.
+
+    Same numerics as :func:`grid_rounded_descriptors_windowed`
+    (_grid_rounded_body: per-tile rotated 16x16 grids rounded to pixel
+    centres, recomputed weights, axis-aligned central differences,
+    th -= ang), but the integer taps become one-hot separable
+    contractions.  The two central differences share their row (resp.
+    column) one-hot, so each gradient component is ONE matmul with a
+    signed tap matrix:
+
+        gdx_s = sum_r onehotY[r,s] * (W @ (onehotX(xp) - onehotX(xm)))[r,s]
+        gdy_s = sum_r (onehotY(yp) - onehotY(ym))[r,s] * (W @ onehotX)[r,s]
+
+    One-hot rows/columns are built with the same triangle generator as
+    the bilinear sampler (tri at integer positions is exactly one-hot),
+    so clamp semantics match the gather form's image-clip-then-window
+    reads.
+    """
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    offs = np.asarray(_tile_offsets())
+    bins = jnp.arange(8, dtype=jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+
+    # static 16x16 local grid in tile units ((k+0.5)/8 - 1,
+    # s_desc_grid.cu:69), tiled over the 4x4 tile offsets -> (4096,) of
+    # (tile_iy, tile_ix, v, u)
+    k16 = (np.arange(16, dtype=np.float32) + 0.5) / 8.0 - 1.0
+    ug = np.broadcast_to(k16[None, :], (16, 16))
+    vg = np.broadcast_to(k16[:, None], (16, 16))
+    OX = np.concatenate([np.full((256,), float(offs[ix]), np.float32)
+                         for _ in range(4) for ix in range(4)])
+    OY = np.concatenate([np.full((256,), float(offs[iy]), np.float32)
+                         for iy in range(4) for _ in range(4)])
+    UG = np.concatenate([ug.reshape(-1)] * 16)
+    VG = np.concatenate([vg.reshape(-1)] * 16)
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+        x0f = x0.astype(jnp.float32)
+        y0f = (ya - pad_y).astype(jnp.float32)
+
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        safe_sbp = jnp.where(sbp > 0.0, sbp, 1.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        csbp = (cos_t * sbp)[:, None]
+        ssbp = (sin_t * sbp)[:, None]
+
+        ox = jnp.asarray(OX)[None, :]
+        oy = jnp.asarray(OY)[None, :]
+        ugj = jnp.asarray(UG)[None, :]
+        vgj = jnp.asarray(VG)[None, :]
+        ct = cos_t[:, None]
+        st = sin_t[:, None]
+        ptx = csbp * ox - ssbp * oy + x[:, None]     # tile centres
+        pty = csbp * oy + ssbp * ox + y[:, None]
+        pixox = ct * ugj - st * vgj
+        pixoy = ct * vgj + st * ugj
+        px = jnp.round(ptx + pixox * sbp[:, None])   # (n, 4096)
+        py = jnp.round(pty + pixoy * sbp[:, None])
+        # recomputed rotated-local coords of the rounded pixel
+        rxn = (px - ptx) / safe_sbp[:, None]
+        ryn = (py - pty) / safe_sbp[:, None]
+        nx = ct * rxn + st * ryn
+        ny = ct * ryn - st * rxn
+
+        # integer taps, image-clipped FIRST (identical semantics to the
+        # gather form), then window-local
+        ix0 = jnp.clip(px, 0.0, w - 1.0)
+        iy0 = jnp.clip(py, 0.0, h - 1.0)
+        xp = jnp.clip(ix0 + 1.0, 0.0, w - 1.0) - x0f[:, None]
+        xm = jnp.clip(ix0 - 1.0, 0.0, w - 1.0) - x0f[:, None]
+        yp = jnp.clip(iy0 + 1.0, 0.0, h - 1.0) - y0f[:, None]
+        ym = jnp.clip(iy0 - 1.0, 0.0, h - 1.0) - y0f[:, None]
+        ix0 = jnp.clip(ix0 - x0f[:, None], 0.0, 127.0)
+        iy0 = jnp.clip(iy0 - y0f[:, None], 0.0, win_y - 1.0)
+        xp = jnp.clip(xp, 0.0, 127.0)
+        xm = jnp.clip(xm, 0.0, 127.0)
+        yp = jnp.clip(yp, 0.0, win_y - 1.0)
+        ym = jnp.clip(ym, 0.0, win_y - 1.0)
+
+        cc = jnp.arange(128, dtype=jnp.float32)
+        rr = jnp.arange(win_y, dtype=jnp.float32)
+
+        def onehot_c(p):
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(cc[None, :, None] - p[:, None, :]))
+
+        def onehot_r(p):
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(rr[None, :, None] - p[:, None, :]))
+
+        # gdx: signed column taps, shared row one-hot
+        m1 = jnp.einsum("nrc,ncs->nrs", wins,
+                        onehot_c(xp) - onehot_c(xm), precision=hp)
+        gdx = jnp.sum(m1 * onehot_r(iy0), axis=1)
+        # gdy: shared column one-hot, signed row taps
+        m2 = jnp.einsum("nrc,ncs->nrs", wins, onehot_c(ix0),
+                        precision=hp)
+        gdy = jnp.sum(m2 * (onehot_r(yp) - onehot_r(ym)), axis=1)
+
+        mod = jnp.hypot(gdx, gdy)
+        th = jnp.arctan2(gdy, gdx) - a[:, None]
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+        th = jnp.where(th >= M_PI2, th - M_PI2, th)
+        tth = th * M_4RPI
+        fo = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo.astype(jnp.float32)
+        fo0 = jnp.clip(fo, 0, 7)
+        fo1 = (fo0 + 1) % 8
+
+        dnx = nx + ox
+        dny = ny + oy
+        ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+        wx = 1.0 - jnp.abs(nx)
+        wy = 1.0 - jnp.abs(ny)
+        good = (wx >= 0.0) & (wy >= 0.0) & ok[:, None]
+        wgt = jnp.where(good, ww * wx * wy * mod, 0.0)
+        A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+             + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+        # (n, 16 tiles x 256 samples, 8) -> per-tile sample sums in the
+        # [ty][tx][bin] output layout
+        D = jnp.sum(A.reshape(-1, 16, 256, 8), axis=2)
+        return D.reshape(-1, 128)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
 def _grid_rounded_body(tapi, x, y, sig, a, ok, w: int, h: int, offs):
     """Per-slot Grid-mode math given an integer-tap sampler
     ``tapi(yy, xx)`` over image-clipped integer coordinates
@@ -788,6 +1073,144 @@ def iloop_descriptors_windowed(stackp: jnp.ndarray, pad_y: int, pad_x: int,
         return jax.vmap(one_slot)(
             wins, x, y, x0.astype(jnp.float32), y0a.astype(jnp.float32),
             sig, a, vld)
+
+    cap = xpos.shape[0]
+    n_chunks = -(-cap // chunk)
+    pad_n = n_chunks * chunk - cap
+
+    def padv(v, fill=0):
+        return jnp.pad(v, (0, pad_n), constant_values=fill) if pad_n else v
+
+    args = (padv(xpos), padv(ypos), padv(lpos), padv(sigma), padv(ang),
+            padv(valid, False))
+    args = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(chunk_fn, args)
+    return out.reshape(n_chunks * chunk, 128)[:cap]
+
+
+def iloop_descriptors_windowed_mm(stackp: jnp.ndarray,
+                                  pad_y: int, pad_x: int,
+                                  xpos, ypos, lpos, sigma, ang, valid,
+                                  w: int, h: int, win: int,
+                                  chunk: int = 16) -> jnp.ndarray:
+    """ILoop descriptors with MXU-contracted bilinear sampling — the
+    TPU speed path for DescMode.ILOOP.
+
+    Same numerics as :func:`iloop_descriptors_windowed` (_iloop_body:
+    per tile a fixed 32x32 AXIS-ALIGNED sample grid spanning the
+    rotated tile's bounding box, rotated-derivative gradients), but the
+    axis-aligned grid makes the bilinear sampling DOUBLY separable:
+    sample columns share x positions and sample rows share y positions,
+    so each (tile, gradient-offset) sample plane is two small matmuls
+
+        S = triY^T (W triX),  triX (128, 32), triY (win_y, 32)
+
+    instead of 1024 gathers.  Tiles x 4 gradient offsets batch into one
+    einsum pair per chunk.
+    """
+    from ..kernels.windows2 import gather_windows_exact, rolled_window_dims
+
+    win_y, _ = rolled_window_dims(win)
+    L = stackp.shape[0]
+    offs = np.asarray(_tile_offsets())
+    bins = jnp.arange(8, dtype=jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+    # tile offset grids: tile t = iy*4 + ix (the [iy][ix][bin] output
+    # layout of _iloop_body's D)
+    OXS = np.asarray([float(offs[t % 4]) for t in range(16)], np.float32)
+    OYS = np.asarray([float(offs[t // 4]) for t in range(16)], np.float32)
+
+    def chunk_fn(c):
+        x, y, l, sig, a, vld = c
+        n = x.shape[0]
+        rx = jnp.round(x).astype(jnp.int32)
+        ry = jnp.round(y).astype(jnp.int32)
+        x0 = rx - win // 2
+        y0 = ry - win // 2
+        lp = jnp.clip(l, 0, L - 1)
+        wins, ya = gather_windows_exact(
+            stackp, lp, y0 + pad_y, x0 + pad_x, win)
+        x0f = x0.astype(jnp.float32)
+        y0f = (ya - pad_y).astype(jnp.float32)
+
+        sbp = jnp.abs(DESC_MAGNIFY * sig)
+        ok = vld & (sbp > 0.0)
+        cos_t = jnp.cos(a)
+        sin_t = jnp.sin(a)
+        bsz = jnp.abs(cos_t) + jnp.abs(sin_t)
+
+        k = jnp.arange(32, dtype=jnp.float32)
+        d = -bsz[:, None] + k[None, :] * (bsz / 16.0)[:, None]  # (n, 32)
+        # normalized rotated-local coords, shared across tiles (32y, 32x)
+        nx = (cos_t[:, None, None] * d[:, None, :]
+              + sin_t[:, None, None] * d[:, :, None])
+        ny = (cos_t[:, None, None] * d[:, :, None]
+              - sin_t[:, None, None] * d[:, None, :])
+        nn_ok = (jnp.abs(nx) < 1.0) & (jnp.abs(ny) < 1.0)
+
+        csbp = cos_t * sbp
+        ssbp = sin_t * sbp
+        ptx = (csbp[:, None] * OXS[None, :]
+               - ssbp[:, None] * OYS[None, :])          # (n, 16)
+        pty = (csbp[:, None] * OYS[None, :]
+               + ssbp[:, None] * OXS[None, :])
+
+        # per-(tile, variant) separable sample positions, window-local.
+        # variants: (+c,+s), (-c,-s), (-s,+c), (+s,-c)
+        dcx = jnp.stack([cos_t, -cos_t, -sin_t, sin_t], 1)   # (n, 4)
+        dcy = jnp.stack([sin_t, -sin_t, cos_t, -cos_t], 1)
+        base_x = (x[:, None] + ptx - x0f[:, None])           # (n, 16)
+        base_y = (y[:, None] + pty - y0f[:, None])
+        dsb = d * sbp[:, None]                               # (n, 32)
+        # PX[n, t, v, s] = base_x[t] + dcx[v] + dsb[s]
+        PX = (base_x[:, :, None, None] + dcx[:, None, :, None]
+              + dsb[:, None, None, :])                       # (n,16,4,32)
+        PY = (base_y[:, :, None, None] + dcy[:, None, :, None]
+              + dsb[:, None, None, :])
+        xlo, xhi = 0.0 - x0f, (w - 1.0) - x0f
+        ylo, yhi = 0.0 - y0f, (h - 1.0) - y0f
+        PX = jnp.clip(jnp.clip(PX, xlo[:, None, None, None],
+                               xhi[:, None, None, None]), 0.0, 127.0)
+        PY = jnp.clip(jnp.clip(PY, ylo[:, None, None, None],
+                               yhi[:, None, None, None]), 0.0,
+                      win_y - 1.0)
+
+        cc = jnp.arange(128, dtype=jnp.float32)
+        rr = jnp.arange(win_y, dtype=jnp.float32)
+        PXf = PX.reshape(n, 64, 32)
+        PYf = PY.reshape(n, 64, 32)
+        triX = jnp.maximum(0.0, 1.0 - jnp.abs(
+            cc[None, None, :, None] - PXf[:, :, None, :]))  # (n,64,128,32)
+        triY = jnp.maximum(0.0, 1.0 - jnp.abs(
+            rr[None, None, :, None] - PYf[:, :, None, :]))  # (n,64,wy,32)
+        M = jnp.einsum("nrc,nvcs->nvrs", wins, triX,
+                       precision=hp)                         # (n,64,wy,32x)
+        S = jnp.einsum("nvry,nvrx->nvyx", triY, M,
+                       precision=hp)                         # (n,64,32y,32x)
+        S = S.reshape(n, 16, 4, 32, 32)
+
+        gdx = S[:, :, 0] - S[:, :, 1]                        # (n,16,32,32)
+        gdy = S[:, :, 2] - S[:, :, 3]
+        mod = jnp.hypot(gdx, gdy)
+        th = jnp.arctan2(gdy, gdx)
+        th = jnp.where(th < 0.0, th + M_PI2, th)
+        th = jnp.where(th >= M_PI2, th - M_PI2, th)
+        tth = th * M_4RPI
+        fo = jnp.floor(tth).astype(jnp.int32)
+        do0 = tth - fo.astype(jnp.float32)
+        fo0 = jnp.clip(fo, 0, 7)
+        fo1 = (fo0 + 1) % 8
+
+        dnx = nx[:, None] + OXS[None, :, None, None]
+        dny = ny[:, None] + OYS[None, :, None, None]
+        ww = jnp.exp(-(dnx * dnx + dny * dny) / 8.0)
+        wgt = jnp.where((nn_ok & ok[:, None, None])[:, None],
+                        ww * (1.0 - jnp.abs(nx))[:, None]
+                        * (1.0 - jnp.abs(ny))[:, None] * mod, 0.0)
+        A = ((fo0[..., None] == bins) * ((1.0 - do0) * wgt)[..., None]
+             + (fo1[..., None] == bins) * (do0 * wgt)[..., None])
+        D = jnp.sum(A, axis=(2, 3))                          # (n, 16, 8)
+        return D.reshape(n, 128)
 
     cap = xpos.shape[0]
     n_chunks = -(-cap // chunk)

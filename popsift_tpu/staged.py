@@ -67,6 +67,14 @@ class StagedExtractor:
         import threading
         self.config = config
         self._wh = (width, height)
+        # wire-lean transfer (u8/u8p descriptor modes): keypoint
+        # coordinates, sigma and per-descriptor angles also ride the wire
+        # as 16-bit fixed point.  Quantisation error (<= dim/131070 px,
+        # ~1e-4 in log2 sigma, ~5e-5 rad) is far below the float
+        # tolerance of the parity harness and below the positional
+        # precision implied by the reference's own uchar descriptor
+        # output; the default f32/u16 modes keep exact f32 sections.
+        self._wire_lean = config.desc_transfer in ("u8", "u8p")
         self.plan: ExtractorPlan = make_plan(config, width, height)
         self.gauss = build_gauss_info(config)
         self.consts = build_const_info(config)
@@ -111,9 +119,21 @@ class StagedExtractor:
         self._recent_ori_totals: collections.deque = collections.deque(
             maxlen=8)
         self._recent_ori_max: int | None = None
+        # per-bucket consecutive-low-frame counters for the shrink rule
+        # (_update_buckets_locked.step)
+        self._shrink_streaks: dict = {}
+        # (key, words) of the last prefix length handed to a dispatch
+        # (sticky window; see wire_prefix_words)
+        self._last_prefix: tuple | None = None
         # recent nonzero-byte totals of the u8p-packed desc section
         self._recent_nz: collections.deque = collections.deque(maxlen=8)
         self._recent_nz_max: int | None = None
+        # collect-side state (buckets, recent-count stats, class state
+        # machine) is now updated from a POOL of downloader threads
+        # (per-image concurrent fetches), so the single-writer invariant
+        # of rounds 1-4 is replaced by this lock; it is uncontended in
+        # the common case and held for microseconds
+        self._stats_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     def _stage1a_fn(self, image):
@@ -264,6 +284,10 @@ class StagedExtractor:
         cache at the current key, so probation never costs a compile; a
         violation during probation re-disables immediately (streak seeds
         at 2) and backs the probation interval off 4x (cap 4096)."""
+        with self._stats_lock:
+            self._note_frame_classes_locked(win_viol, key)
+
+    def _note_frame_classes_locked(self, win_viol: int, key: tuple) -> None:
         if win_viol > 0:
             self._class_viol_streak += 1
             if self._class_viol_streak >= 3 and self._classes_enabled:
@@ -554,10 +578,16 @@ class StagedExtractor:
         # is deliberately LAST so the downloader can fetch a
         # count-adaptive prefix of the buffer (see wire_prefix_words)
         sizes = [("cand_counts", O), ("counts", O), ("ori_counts", O),
-                 ("overflows", O), ("totals", 3),
-                 ("x", FT), ("y", FT), ("sigma", FT),
-                 ("ori_d", BT),
-                 ("no_oct", -(-FT // 4))]
+                 ("overflows", O), ("totals", 3)]
+        if self._wire_lean:
+            # 16-bit fixed-point keypoint sections (see __init__): x and
+            # y packed into one u32 per feature slot; sigma (log2-coded)
+            # and the per-descriptor angle as u16 pairs
+            sizes += [("xy", FT), ("sg", -(-FT // 2)),
+                      ("ori_d", -(-BT // 2))]
+        else:
+            sizes += [("x", FT), ("y", FT), ("sigma", FT), ("ori_d", BT)]
+        sizes += [("no_oct", -(-FT // 4))]
         if self.config.desc_transfer == "u8p":
             # zero-compacted u8: a per-entry zero bitmap (decoded
             # host-side — the DOWNLOAD direction has no XLA-decode
@@ -577,15 +607,18 @@ class StagedExtractor:
         return layout
 
     def _note_ori_total(self, ori_total: int) -> None:
-        """Record an observed descriptor total (collect thread only)."""
-        self._recent_ori_totals.append(int(ori_total))
-        self._recent_ori_max = max(self._recent_ori_totals)
+        """Record an observed descriptor total (downloader pool; the
+        dispatch thread reads the precomputed _recent_ori_max int)."""
+        with self._stats_lock:
+            self._recent_ori_totals.append(int(ori_total))
+            self._recent_ori_max = max(self._recent_ori_totals)
 
     def _note_nz(self, nz: int) -> None:
-        """Record an observed packed-descriptor byte count (collect
-        thread only; the dispatch thread reads _recent_nz_max)."""
-        self._recent_nz.append(int(nz))
-        self._recent_nz_max = max(self._recent_nz)
+        """Record an observed packed-descriptor byte count (downloader
+        pool; the dispatch thread reads _recent_nz_max)."""
+        with self._stats_lock:
+            self._recent_nz.append(int(nz))
+            self._recent_nz_max = max(self._recent_nz)
 
     # ------------------------------------------------------------------
     # Bucket-key persistence: the settled key per (config, size) is saved
@@ -659,9 +692,19 @@ class StagedExtractor:
         except OSError:
             pass
 
-    # prefix-fetch quantum (u32 words; 64 KiB) — coarse so the tiny
-    # device-side slice programs stay few and cached
-    WIRE_GRAN = 16384
+    # prefix-fetch quantum (u32 words; 8 KiB).  Round 4 used 64 KiB "so
+    # the tiny device-side slice programs stay few and cached", but the
+    # slice-program count is bounded by the PREFIX value churn, not the
+    # quantum (the sticky window below), and 64 KiB rounding alone was
+    # up to ~10% of the whole per-image payload (round-4 VERDICT 1b)
+    WIRE_GRAN = 2048
+    # sticky prefix: reuse the last prefix length while the fresh
+    # estimate stays within this many words below it.  Measured on the
+    # remote TPU: every DISTINCT prefix length compiles a new tiny
+    # slice program at ~600 ms (round-trip compile), so value churn —
+    # not quantum size — is what must be bounded.  8192 words = 32 KiB
+    # of worst-case over-fetch, ~8% of a 1080p image's payload.
+    WIRE_STICKY = 8192
 
     def wire_prefix_words(self, key: tuple) -> int | None:
         """Count-adaptive transfer length for the flat buffer.
@@ -686,18 +729,58 @@ class StagedExtractor:
                 return None
             est_words = (int(nz_max * 1.25) + 256) // 4
             need = a + est_words
-            need = -(-need // self.WIRE_GRAN) * self.WIRE_GRAN
-            return need if need < lay["_total"] else None
-        recent_max = self._recent_ori_max
-        if recent_max is None:
-            return None
-        est_rows = int(recent_max * 1.125) + 8
-        if est_rows >= bt_rows:
-            return None
-        wpr = (b - a) // bt_rows  # words per descriptor row
-        need = a + est_rows * wpr
+        else:
+            recent_max = self._recent_ori_max
+            if recent_max is None:
+                return None
+            est_rows = int(recent_max * 1.125) + 8
+            if est_rows >= bt_rows:
+                return None
+            wpr = (b - a) // bt_rows  # words per descriptor row
+            need = a + est_rows * wpr
         need = -(-need // self.WIRE_GRAN) * self.WIRE_GRAN
-        return need if need < lay["_total"] else None
+        if need >= lay["_total"]:
+            return None
+        # sticky window: reuse the previous prefix while the fresh need
+        # stays within WIRE_STICKY below it (see WIRE_STICKY)
+        last = self._last_prefix
+        if (last is not None and last[0] == key
+                and need <= last[1] <= need + self.WIRE_STICKY
+                and last[1] < lay["_total"]):
+            return last[1]
+        self._last_prefix = (key, need)
+        return need
+
+    # log2-sigma quantisation range of the wire-lean sigma section:
+    # covers sigma in [2^-6, 2^14] with relative error <= 1.1e-4
+    SIG_LO, SIG_HI = -6.0, 14.0
+
+    @staticmethod
+    def _u16_words(a):
+        """Bitcast a (n,) u16 array to ceil(n/2) u32 words (LE pairs)."""
+        if a.shape[0] % 2:
+            a = jnp.pad(a, (0, 1))
+        return jax.lax.bitcast_convert_type(
+            a.reshape(-1, 2), jnp.uint32)
+
+    def _encode_lean_sections(self, p):
+        """Wire-lean 16-bit fixed-point encode of x/y/sigma/ori_d (the
+        dequantising decode lives in _decode_flat)."""
+        import math
+        xm, ym = float(self._wh[0]), float(self._wh[1])
+        xq = jnp.round(jnp.clip(p["x"], 0.0, xm) * (65535.0 / xm)) \
+            .astype(jnp.uint32)
+        yq = jnp.round(jnp.clip(p["y"], 0.0, ym) * (65535.0 / ym)) \
+            .astype(jnp.uint32)
+        lo, hi = self.SIG_LO, self.SIG_HI
+        lg = jnp.log2(jnp.maximum(p["sigma"], 2.0 ** lo))
+        sq = jnp.round(jnp.clip(lg - lo, 0.0, hi - lo)
+                       * (65535.0 / (hi - lo))).astype(jnp.uint16)
+        oq = jnp.round((jnp.clip(p["ori_d"], -math.pi, math.pi)
+                        + math.pi) * (65535.0 / (2.0 * math.pi))) \
+            .astype(jnp.uint16)
+        return [xq | (yq << 16), self._u16_words(sq),
+                self._u16_words(oq)]
 
     @staticmethod
     def _as_u32(a):
@@ -714,8 +797,12 @@ class StagedExtractor:
                 jnp.float32 if a.dtype == jnp.float32 else jnp.int32),
             jnp.uint32)
 
-    def _fused_packed_image(self, image, key: tuple, classed: bool = True):
-        """Per-image stage1a..finalize body producing (flat u32, dev_desc)."""
+    def _packed_soa_image(self, image, key: tuple, classed: bool = False):
+        """Per-image stage1a..finalize body returning the device-side
+        packed SoA dict (finalize fields + per-octave counts).  Shared by
+        the wire-format encoder below and by the multi-chip batched
+        extractor (parallel/batch.py), which keeps the SoA on device
+        instead of flattening it for the host wire."""
         cks, ks, bs, ft, bt = key
         s1 = self._stage1a_fn(image)
         exts, counts, overflows = self._stage1b_body(
@@ -728,6 +815,15 @@ class StagedExtractor:
         descs, angds, viol3 = self._stage3_body(
             s1["grads"], s1["stacks"], exts, oris, ks, bs, classed=classed)
         p = self._finalize_body(exts, oris, descs, angds, ks, bs, ft, bt)
+        return dict(p, counts=counts, overflows=overflows,
+                    ori_counts=ori_counts, cand_counts=s1["cand_counts"],
+                    win_viol=viol2 + viol3)
+
+    def _fused_packed_image(self, image, key: tuple, classed: bool = True):
+        """Per-image stage1a..finalize body producing (flat u32, dev_desc)."""
+        p = self._packed_soa_image(image, key, classed=classed)
+        counts, overflows = p["counts"], p["overflows"]
+        ori_counts = p["ori_counts"]
         dev_desc = self._dequantize_descs_dev(p["desc"])
         u = self._as_u32
         no_oct = (p["num_ori"] | (p["octave"] << 3)).astype(jnp.uint8)
@@ -738,14 +834,17 @@ class StagedExtractor:
             desc_sections = self._pack_desc_u8p(p["desc"])
         else:
             desc_sections = [u(p["desc"])]
+        if self._wire_lean:
+            kp_sections = self._encode_lean_sections(p)
+        else:
+            kp_sections = [u(p["x"]), u(p["y"]), u(p["sigma"]),
+                           u(p["ori_d"])]
         flat = jnp.concatenate([
-            u(s1["cand_counts"]), u(counts), u(ori_counts),
+            u(p["cand_counts"]), u(counts), u(ori_counts),
             u(overflows),
             u(jnp.stack([p["ext_total"], p["ori_total"],
-                         viol2 + viol3])),
-            u(p["x"]), u(p["y"]), u(p["sigma"]),
-            u(p["ori_d"]),
-            u(no_oct)] + desc_sections)
+                         p["win_viol"]]))]
+            + kp_sections + [u(no_oct)] + desc_sections)
         return flat, dev_desc
 
     def _pack_desc_u8p(self, desc):
@@ -874,18 +973,24 @@ class StagedExtractor:
             flat_full=flat if n else None,
             dev_desc=out["dev_desc"]))
 
+    def pending_for_image(self, pending, i: int):
+        """Per-image view of a batch pending handle (for per-image
+        concurrent fetches by the downloader pool).  dev_desc stays as a
+        lazy (batch_array, i) pair so extracting-mode collects never
+        dispatch the per-image slice."""
+        key, out = pending
+        ff = out.get("flat_full")
+        return (key, dict(flat=None,
+                          flat_full=(None if ff is None else (ff, i)),
+                          dev_desc=(out["dev_desc"], i)))
+
     def extract_collect_batch(self, images, pending, flats: np.ndarray,
                               want_dev: bool = False):
         """Decode a fetched (len(images), words) buffer into one Features
         per image (per-image validation; fused-regrow fallback per
         image)."""
-        key, out = pending
-        ff = out.get("flat_full")
         return [self.extract_collect(
-            images[i], (key, dict(flat=None,
-                                  flat_full=(None if ff is None
-                                             else (ff, i)),
-                                  dev_desc=out["dev_desc"][i])),
+            images[i], self.pending_for_image(pending, i),
             flats[i], want_dev)
             for i in range(len(images))]
 
@@ -930,6 +1035,24 @@ class StagedExtractor:
         num_ori = (no_oct & 7).astype(np.int32)
         idx_ori = np.zeros(FT, np.int32)
         np.cumsum(num_ori[:-1], out=idx_ori[1:])
+        if self._wire_lean:
+            import math
+            xm, ym = float(self._wh[0]), float(self._wh[1])
+            xy = sl("xy", np.uint32)
+            x = (xy & 0xFFFF).astype(np.float32) * (xm / 65535.0)
+            y = (xy >> 16).astype(np.float32) * (ym / 65535.0)
+            lo, hi = self.SIG_LO, self.SIG_HI
+            sg = sl("sg", np.uint16)[:FT].astype(np.float32)
+            sigma = np.exp2(lo + sg * ((hi - lo) / 65535.0)) \
+                .astype(np.float32)
+            oq = sl("ori_d", np.uint16)[:BT].astype(np.float32)
+            ori_d = (oq * (2.0 * math.pi / 65535.0)
+                     - math.pi).astype(np.float32)
+        else:
+            x = sl("x", np.float32)
+            y = sl("y", np.float32)
+            sigma = sl("sigma", np.float32)
+            ori_d = sl("ori_d", np.float32)
         return dict(
             cand_counts=sl("cand_counts", np.int32),
             counts=sl("counts", np.int32),
@@ -937,9 +1060,7 @@ class StagedExtractor:
             overflows=sl("overflows", np.int32),
             ext_total=totals[0], ori_total=totals[1],
             win_viol=totals[2],
-            x=sl("x", np.float32), y=sl("y", np.float32),
-            sigma=sl("sigma", np.float32),
-            ori_d=sl("ori_d", np.float32),
+            x=x, y=y, sigma=sigma, ori_d=ori_d,
             num_ori=num_ori,
             idx_ori=idx_ori,
             octave=(no_oct >> 3).astype(np.int32),
@@ -1186,6 +1307,8 @@ class StagedExtractor:
         m = int(t["ori_total"])
         num = np.asarray(t["num_ori"][:n], np.int32)
         if want_dev:
+            if isinstance(dev_desc, tuple):  # lazy per-image batch slice
+                dev_desc = dev_desc[0][dev_desc[1]]
             # reverse map (feat_to_ext_map analog) is derived on the host:
             # descriptor j belongs to the feature whose [idx_ori,
             # idx_ori+num) range contains it — i.e. repeat by num_ori
@@ -1279,19 +1402,59 @@ class StagedExtractor:
         bucket tuples = stable jit cache); grow with 2x headroom on
         overflow; shrink only when the count drops far below (< 1/8) so
         oscillating scenes don't churn compiles."""
+        with self._stats_lock:
+            self._update_buckets_locked(cand_counts, counts, ori_counts)
+
+    # consecutive comfortably-low frames before a bucket shrinks (see
+    # step below); one shrink = one batch-program recompile, so the
+    # streak keeps oscillating scenes from churning compiles.  16
+    # frames + the 1.6x shrink margin below: a shrink must be backed by
+    # sustained evidence AND still leave room for a moderately richer
+    # regime, because a wrong shrink costs a full batch-program
+    # recompile when that regime returns (observed as a recurring
+    # ~85 s mid-stream compile when the margin was 1.3x/8 frames)
+    _SHRINK_STREAK = 16
+
+    def _update_buckets_locked(self, cand_counts, counts,
+                               ori_counts) -> None:
         plan = self.plan
         last = self._last_buckets or ((0,) * plan.octaves,) * 3
+        streaks = self._shrink_streaks
 
-        def step(cur: int, count: int, cap: int) -> int:
+        def step(cur: int, count: int, cap: int, skey) -> int:
             count = int(count)
             grown = int(count * 1.3) + 1
             if count > cur:
+                streaks.pop(skey, None)
                 return min(bucket(grown), cap)
             if cur > 128 and count * 8 < cur:
+                streaks.pop(skey, None)
                 return min(bucket(grown), cap) if count else 0
+            # sustained-low shrink: the old rule (shrink only below
+            # cur/8) let a one-off regrow spike pin a bucket at 3-4x
+            # the stream's real count FOREVER — and the saved-key store
+            # then perpetuated it across processes (observed in round
+            # 5: a stale bt=10240 key against ori_total~2600 doubled
+            # every frame's wire bytes).  If the tight bucket has been
+            # <= cur/2 for _SHRINK_STREAK consecutive frames, adopt it
+            # — sized by the STREAK'S MAX count, not the current frame,
+            # so the shrunk bucket still fits the stream's recent
+            # high-water mark (shrinking to one low frame's count made
+            # the very next above-average frame regrow + recompile).
+            tight = bucket(grown)
+            if cur > 128 and tight * 2 <= cur:
+                smax, s = streaks.get(skey, (0, 0))
+                smax, s = max(smax, count), s + 1
+                if s >= self._SHRINK_STREAK:
+                    streaks.pop(skey, None)
+                    return min(max(bucket(int(smax * 1.6) + 1), 128),
+                               cap)
+                streaks[skey] = (smax, s)
+            else:
+                streaks.pop(skey, None)
             return cur
 
-        cks = tuple(step(last[0][o], c, plan.cand_caps[o])
+        cks = tuple(step(last[0][o], c, plan.cand_caps[o], ("c", o))
                     for o, c in enumerate(cand_counts))
 
         def ext_buf(o):
@@ -1299,9 +1462,10 @@ class StagedExtractor:
                 return plan.ext_caps[o]
             return min(plan.ext_caps[o], max(cks[o], 128))
 
-        ks = tuple(min(step(last[1][o], c, plan.ext_caps[o]), ext_buf(o))
+        ks = tuple(min(step(last[1][o], c, plan.ext_caps[o], ("k", o)),
+                       ext_buf(o))
                    for o, c in enumerate(counts))
-        bs = tuple(step(last[2][o], c, plan.ori_caps[o])
+        bs = tuple(step(last[2][o], c, plan.ori_caps[o], ("b", o))
                    for o, c in enumerate(ori_counts))
         self._last_buckets = (cks, ks, bs)
 
@@ -1312,8 +1476,10 @@ class StagedExtractor:
         self._note_ori_total(ori_total)
         lf, lb = ((self._last_key5[3], self._last_key5[4])
                   if self._last_key5 else (0, 0))
-        ft = min(step(lf, ext_total, sum(plan.ext_caps)), sum(ks))
-        bt = min(step(lb, ori_total, sum(plan.ori_caps)), sum(bs))
+        ft = min(step(lf, ext_total, sum(plan.ext_caps), ("ft",)),
+                 sum(ks))
+        bt = min(step(lb, ori_total, sum(plan.ori_caps), ("bt",)),
+                 sum(bs))
         prev = self._last_key5
         self._last_key5 = (cks, ks, bs, ft, bt)
         if self._last_key5 != prev:

@@ -124,6 +124,31 @@ def test_grid_windowed_matches_plane():
         np.testing.assert_allclose(
             out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
 
+    # MXU-contracted bilinear sampling (the TPU notile/igrid speed
+    # path): separable triangle matmuls must reproduce the gather
+    # formulation to float rounding
+    for rounded in (False, True):
+        ref = np.asarray(ops_desc.grid_descriptors_windowed(
+            stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+            win=win, desc_gauss=consts.desc_gauss,
+            desc_tile=consts.desc_tile, rounded=rounded))
+        out = np.asarray(ops_desc.grid_descriptors_windowed_mm(
+            stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+            win=win, desc_gauss=consts.desc_gauss,
+            desc_tile=consts.desc_tile, rounded=rounded))
+        np.testing.assert_allclose(
+            out, ref, atol=2e-4 * max(1.0, float(np.abs(ref).max())))
+
+    # iloop: doubly-separable matmul sampling vs gather taps
+    ref = np.asarray(ops_desc.iloop_descriptors_windowed(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+        win=win))
+    out = np.asarray(ops_desc.iloop_descriptors_windowed_mm(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+        win=win))
+    np.testing.assert_allclose(
+        out, ref, atol=2e-4 * max(1.0, float(np.abs(ref).max())))
+
     # iloop: whole-plane vs windowed
     ref = np.asarray(ops_desc.iloop_descriptors(
         jnp.asarray(stack), x, y, lv, sig, ang, valid))
@@ -131,6 +156,16 @@ def test_grid_windowed_matches_plane():
         stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, w, h, win))
     np.testing.assert_allclose(
         out, ref, atol=1e-3 * max(1.0, float(np.abs(ref).max())))
+
+    # grid (rounded integer taps): one-hot matmul taps vs gather taps
+    ref = np.asarray(ops_desc.grid_rounded_descriptors_windowed(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+        win=win))
+    out = np.asarray(ops_desc.grid_rounded_descriptors_windowed_mm(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, valid, h=h, w=w,
+        win=win))
+    np.testing.assert_allclose(
+        out, ref, atol=2e-4 * max(1.0, float(np.abs(ref).max())))
 
     # grid (rounded integer taps): whole-plane vs windowed
     ref = np.asarray(ops_desc.grid_rounded_descriptors(

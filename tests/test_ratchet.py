@@ -37,25 +37,32 @@ def test_flat_buffer_words_ratchet():
     """Pinned per-image wire words for a canonical bucket key.
 
     Canonical: default Config + u8p transfer, 160x120 input (5 octaves),
-    all count buckets at 128.  Layout arithmetic: 4 count vectors of
-    O=5 + 3 totals + 3x128 keypoint floats + 128 angles + ceil(128/4)
-    packed num_ori/octave bytes + 128x4 zero-bitmap words + 128x32
-    packed u8 descriptor words = 5175 u32 words (20.7 KB/image)."""
+    all count buckets at 128.  Layout arithmetic (round-5 wire-lean
+    format): 4 count vectors of O=5 + 3 totals + 128 packed u16 x|y
+    words + 64 u16-pair sigma words + 64 u16-pair angle words +
+    ceil(128/4) packed num_ori/octave bytes + 128x4 zero-bitmap words +
+    128x32 packed u8 descriptor words = 4919 u32 words (19.7 KB/image;
+    was 5175 with the f32 keypoint sections)."""
     cfg = Config()
     cfg.set_desc_transfer("u8p")
     ex = get_staged_extractor(cfg, 160, 120)
     assert ex.plan.octaves == 5
     key = ((128,) * 5, (128,) * 5, (128,) * 5, 128, 128)
     lay = ex._flat_layout(key)
-    assert lay["_total"] == 5175, (
-        "flat transfer buffer grew: was 5175 u32 words/image for the "
+    assert lay["_total"] == 4919, (
+        "flat transfer buffer grew: was 4919 u32 words/image for the "
         f"canonical key, now {lay['_total']} — if deliberate, update "
         "this pin and record the wire cost in docs/DESIGN.md")
     # u8 variant (round-2 wire format): no bitmap section
     cfg2 = Config()
     cfg2.set_desc_transfer("u8")
     ex2 = get_staged_extractor(cfg2, 160, 120)
-    assert ex2._flat_layout(key)["_total"] == 5175 - 128 * 4
+    assert ex2._flat_layout(key)["_total"] == 4919 - 128 * 4
+    # the default (u16 descriptor) transfer keeps exact f32 keypoint
+    # sections: x/y/sigma/ori_d cost 4*128 words instead of 256
+    cfg3 = Config()
+    ex3 = get_staged_extractor(cfg3, 160, 120)
+    assert ex3._flat_layout(key)["_total"] == 23 + 512 + 32 + 128 * 64
 
 
 def test_steady_state_dispatch_count_ratchet():

@@ -75,6 +75,14 @@ def main():
     timed("notile", lambda: ops_desc.grid_descriptors_windowed(
         stackp, pad_y, pad_x, x, y, lv, sig, ang, vld, w, h, win,
         consts.desc_gauss, consts.desc_tile))
+    # MXU-contracted bilinear sampling (round-5 igrid/notile speed path)
+    timed("ntl-mm", lambda: ops_desc.grid_descriptors_windowed_mm(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, vld, w, h, win,
+        consts.desc_gauss, consts.desc_tile))
+    timed("grid-mm", lambda: ops_desc.grid_rounded_descriptors_windowed_mm(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, vld, w, h, win))
+    timed("ilp-mm", lambda: ops_desc.iloop_descriptors_windowed_mm(
+        stackp, pad_y, pad_x, x, y, lv, sig, ang, vld, w, h, win))
 
 
 if __name__ == "__main__":
