@@ -222,6 +222,12 @@ def _dispatch_descriptors(plan, consts, stack, field, pad_y, pad_x,
             return ops_desc.grid_rounded_descriptors_windowed(
                 stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid,
                 w, h, plan.desc_win)
+        # IGRID and NOTILE share these numerics deliberately: in the
+        # reference they differ only in GPU thread tiling over the same
+        # rotated 40x40 bilinear sampling (s_desc_igrid.cu vs
+        # s_desc_notile.cu); ``rounded=True`` is NOT IGrid — it is a
+        # legacy variant kept for tests (GRID mode's true rounding
+        # lives in grid_rounded_descriptors_windowed*)
         if mm:
             return ops_desc.grid_descriptors_windowed_mm(
                 stackp, pad_y, pad_x, ex, ey, el, es, ang, ovalid, w, h,

@@ -178,6 +178,10 @@ def compact_mask(mask: jnp.ndarray, cap: int):
     if cap > rflat.shape[0]:
         rflat = jnp.pad(rflat, (0, cap - rflat.shape[0]),
                         constant_values=n + 1)
+    # k-smallest by full sort.  A top_k formulation was tried (round 5)
+    # and REJECTED: XLA:TPU lowers top_k over this size to a two-array
+    # (keys + iota) sort — strictly more work than this single-array
+    # sort, which the device trace puts at ~0.5 ms/image in-program.
     buf = jnp.minimum(jax.lax.sort(rflat)[:cap], n - 1)
 
     kept = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), cap)
@@ -251,6 +255,10 @@ def compact_words(words: jnp.ndarray, cap: int):
     if cap > rflat.shape[0]:
         rflat = jnp.pad(rflat, (0, cap - rflat.shape[0]),
                         constant_values=n + 1)
+    # k-smallest by full sort.  A top_k formulation was tried (round 5)
+    # and REJECTED: XLA:TPU lowers top_k over this size to a two-array
+    # (keys + iota) sort — strictly more work than this single-array
+    # sort, which the device trace puts at ~0.5 ms/image in-program.
     buf = jnp.minimum(jax.lax.sort(rflat)[:cap], n - 1)
 
     count = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), cap)

@@ -116,9 +116,18 @@ def _default_key(plan, per_octave: int = 128):
 
 def _shard_map():
     sm = getattr(jax, "shard_map", None)
-    if sm is None:  # older jax
-        from jax.experimental.shard_map import shard_map as sm
-    return sm
+    if sm is not None:
+        return sm
+
+    # older jax: the experimental API spells the checker kwarg
+    # check_rep; translate so callers can use check_vma uniformly
+    from jax.experimental.shard_map import shard_map as esm
+
+    def compat(f, mesh, in_specs, out_specs, check_vma=True):
+        return esm(f, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_rep=check_vma)
+
+    return compat
 
 
 def staged_batched_extractor(config: Config, width: int, height: int,
@@ -295,8 +304,14 @@ def sfm_frontend_step(config: Config, width: int, height: int, mesh: Mesh,
         else:
             desc = jnp.pad(desc,
                            ((0, 0), (0, cap - desc.shape[1]), (0, 0)))
+        # clamp by the key's descriptor-bucket total: an overflow frame
+        # reports ori_total > bt while rows >= bt were never written
+        # (zeros) — without the clamp those zero rows would enter the
+        # matcher as "valid" descriptors
+        ot = jnp.minimum(result["ori_total"],
+                         jnp.int32(min(max(key[4], 1), cap)))
         dvalid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                  < result["ori_total"][:, None])
+                  < ot[:, None])
         # padded frames (uneven batch) contribute no descriptors
         dvalid = dvalid & img_valid[:, None]
         # chained pairwise matching image i -> i+1 (static unroll over B)

@@ -742,13 +742,17 @@ class StagedExtractor:
         if need >= lay["_total"]:
             return None
         # sticky window: reuse the previous prefix while the fresh need
-        # stays within WIRE_STICKY below it (see WIRE_STICKY)
-        last = self._last_prefix
-        if (last is not None and last[0] == key
-                and need <= last[1] <= need + self.WIRE_STICKY
-                and last[1] < lay["_total"]):
-            return last[1]
-        self._last_prefix = (key, need)
+        # stays within WIRE_STICKY below it (see WIRE_STICKY).  Locked:
+        # matching mode dispatches from N worker threads, and a racy
+        # read-modify-write here would ping-pong the prefix value —
+        # each distinct value costs a ~600 ms slice-program compile.
+        with self._stats_lock:
+            last = self._last_prefix
+            if (last is not None and last[0] == key
+                    and need <= last[1] <= need + self.WIRE_STICKY
+                    and last[1] < lay["_total"]):
+                return last[1]
+            self._last_prefix = (key, need)
         return need
 
     # log2-sigma quantisation range of the wire-lean sigma section:
@@ -898,16 +902,21 @@ class StagedExtractor:
         readback (see _flat_layout)."""
         if classed is None:
             classed = self._classes_enabled
-        fn = self._fused_packed.get((key, classed))
-        if fn is None:
-            def fused(image):
-                flat, dev_desc = self._fused_packed_image(
-                    image, key, classed=classed)
-                return dict(flat=flat, dev_desc=dev_desc)
+        # locked get-or-create: two downloader threads regrowing
+        # concurrently must share ONE jit callable, or each would
+        # trigger its own ~90 s XLA compile at first call (jit
+        # construction itself is cheap; the compile happens at dispatch)
+        with self._stats_lock:
+            fn = self._fused_packed.get((key, classed))
+            if fn is None:
+                def fused(image):
+                    flat, dev_desc = self._fused_packed_image(
+                        image, key, classed=classed)
+                    return dict(flat=flat, dev_desc=dev_desc)
 
-            fn = self._timed_first(jax.jit(fused),
-                                   f"fused1[{classed}]{key}")
-            self._fused_packed[(key, classed)] = fn
+                fn = self._timed_first(jax.jit(fused),
+                                       f"fused1[{classed}]{key}")
+                self._fused_packed[(key, classed)] = fn
         return fn
 
     # batch size of the multi-image fused program (one dispatch + one
@@ -920,8 +929,12 @@ class StagedExtractor:
                                 classed: bool | None = None):
         if classed is None:
             classed = self._classes_enabled
-        fn = self._fused_packed_batch.get((key, classed))
-        if fn is None:
+        # locked get-or-create (see _get_fused_packed)
+        with self._stats_lock:
+            fn = self._fused_packed_batch.get((key, classed))
+            if fn is not None:
+                return fn
+
             def fused(*images):
                 # lax.scan over the batch: the per-image body is traced
                 # and compiled ONCE (an unrolled 4-image body compiled in
@@ -1215,8 +1228,12 @@ class StagedExtractor:
                                         depth=depth + 1)
         if not viol_only:
             # install the regrown key as the stream's steady state
-            self._last_buckets = (cks, ks, bs)
-            self._last_key5 = key
+            # (locked: the downloader pool can regrow concurrently, and
+            # a torn buckets/key5 pair from two keys would force
+            # another regrow round)
+            with self._stats_lock:
+                self._last_buckets = (cks, ks, bs)
+                self._last_key5 = key
             self._update_buckets(t2["cand_counts"], t2["counts"],
                                  t2["ori_counts"])
         return self._features_from_packed(t2, out["dev_desc"][0],
