@@ -179,8 +179,13 @@ def main() -> int:
     # standard interference-robust practice (a 3x24 split lost whole
     # minutes to one bad-weather window in round 2), and every pass is
     # itself an honest distinct-frame run.
-    n_jobs = 12
-    n_passes = 6
+    # 24 jobs/pass: every pass pays the pipeline fill (uploads before
+    # the first batch can dispatch) and drain (the last batch's fetch)
+    # once — at 12 jobs that fixed cost was ~40% of the pass; 24 jobs
+    # halve its per-image share while each pass stays a short (~2 s)
+    # window against tunnel weather
+    n_jobs = 24
+    n_passes = 4
     # 8 warmup scenes (disjoint seeds from the timed passes): a WIDE
     # count sample, so the settled bucket key covers the timed passes'
     # count distribution — with only 4 scenes, a timed pass whose

@@ -138,7 +138,7 @@ class PopSift:
         # popsift.cpp:34-41; grows with the worker count and the
         # dispatched-but-not-downloaded window)
         self._n_workers = max(1, int(workers))
-        self._pool = threading.Semaphore(max(2 * self._n_workers + 4, 16))
+        self._pool = threading.Semaphore(max(2 * self._n_workers + 4, 24))
         # jobs enqueued but not yet pulled by a dispatch/match worker:
         # the dispatch loop uses this as a "more work is coming" hint to
         # briefly wait for a full batch instead of dispatching a padded

@@ -1160,7 +1160,12 @@ class StagedExtractor:
             return self._extract_exact(image, want_dev)
         plan = self.plan
         cks0, ks0, bs0, ft0, bt0 = failed_key
-        g = 1.3 * (2.0 ** depth)
+        # 1.5x headroom (was 1.3): a regrow costs a full batch-program
+        # compile (~85 s on a 1-core host), so one regrow should cover
+        # moderately richer future regimes too — the padded slots are
+        # cheap (invalid slots skip their kernel DMAs) next to a second
+        # compile a few frames later
+        g = 1.5 * (2.0 ** depth)
 
         viol_only = (int(t["win_viol"]) > 0
                      and all(int(c) <= cks0[o]
