@@ -90,7 +90,9 @@ def _row_block(h: int) -> int:
     # Bigger row blocks amortize the vertical halo recompute (the chain's
     # dominant VPU overhead): at 1080p octave 0 the kernel measures
     # 7.24 / 5.87 / 5.43 ms for bh = 64 / 128 / 256 (xplane device trace).
-    # 256-row blocks need the raised vmem_limit_bytes below.
+    # 256-row blocks need the raised vmem_limit_bytes below; 512 was
+    # tried (round 5) and exceeds physical VMEM (141 MB > 128 MB: the
+    # widest levels' tap-chain temporaries scale with block rows).
     if h >= 1024:
         return 256
     if h >= 256:
