@@ -108,7 +108,13 @@ def detect_candidates(dog: jnp.ndarray, sift_mode: SiftMode,
 _BLOCK = 1024      # compaction block (one x-run of the raster)
 _PER_BLOCK = 16    # max survivors kept per block (strict 26-neighbour
                    # extrema are >= 2 apart along x, so a block can
-                   # physically hold <= 512; realistic images hold < 10)
+                   # physically hold <= 512; realistic images hold < 10).
+                   # 8 was tried (round 5: the extraction loop + raster
+                   # sort cost ~2.9 ms/image, one full pass over the
+                   # packed word volume per slot) and rejected — the
+                   # Poisson tail of moderately dense content exceeds 8
+                   # per block, and a ~1.5 ms device win does not buy
+                   # weakened clamp semantics.
 
 
 def compact_mask(mask: jnp.ndarray, cap: int):
