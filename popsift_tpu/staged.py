@@ -97,14 +97,23 @@ class StagedExtractor:
         # bucket key and compile N distinct fused programs)
         self._init_lock = threading.Lock()
         self._frames_seen = 0
-        # sigma-classed windows: on for the optimistic program; a streak
-        # of window violations (heavy-tail sigma content, e.g. heavily
-        # blurred streams) turns it off for this extractor so frames stop
-        # paying classed-run-then-exact-redo twice.  After
-        # _class_probation clean frames the classed program is re-tried
-        # once (only when it is still in the jit cache, so probation is
-        # compile-free); another violation re-disables with 4x backoff.
-        self._classes_enabled = True
+        # sigma-classed windows (POPSIFT_TPU_SIGMA_CLASSES=1 to enable):
+        # the optimistic program processes sigma-sorted slots at
+        # class-sized windows, saving ~2 ms/image of device time — but
+        # round-5 measurement on varied content showed class violations
+        # are ENDEMIC (6-106 violating slots on most frames outside the
+        # settling content regime), and every violating frame pays a
+        # full exact-window redo while the enable/disable transitions
+        # double the compiled program family.  On the wall-clock-
+        # dominated pipeline that trade lost, so classes are opt-in.
+        # When enabled: a streak of violations turns them off for this
+        # extractor; after _class_probation clean frames the classed
+        # program is re-tried once (only when still in the jit cache,
+        # so probation is compile-free); another violation re-disables
+        # with 4x backoff.
+        import os as _os
+        self._classes_enabled = _os.environ.get(
+            "POPSIFT_TPU_SIGMA_CLASSES", "") not in ("", "0")
         self._class_viol_streak = 0
         self._frames_since_disable = 0
         self._class_probation = 64
@@ -122,9 +131,19 @@ class StagedExtractor:
         # per-bucket consecutive-low-frame counters for the shrink rule
         # (_update_buckets_locked.step)
         self._shrink_streaks: dict = {}
+        # per-bucket floors established by REGROWS in this process: a
+        # regrow is hard evidence the stream needs that size, so the
+        # shrink rule never goes below it again (each wrong shrink
+        # costs an ~85 s recompile when the regime returns); floors are
+        # process-local, so a stale saved key with no regrow evidence
+        # can still shrink away
+        self._bucket_floors: dict = {}
         # (key, words) of the last prefix length handed to a dispatch
         # (sticky window; see wire_prefix_words)
         self._last_prefix: tuple | None = None
+        # keys whose non-classed insurance program has been queued for
+        # background compilation (see _prewarm_nonclassed)
+        self._prewarmed: set = set()
         # recent nonzero-byte totals of the u8p-packed desc section
         self._recent_nz: collections.deque = collections.deque(maxlen=8)
         self._recent_nz_max: int | None = None
@@ -956,6 +975,44 @@ class StagedExtractor:
             self._fused_packed_batch[(key, classed)] = fn
         return fn
 
+    def _prewarm_nonclassed(self, key: tuple) -> None:
+        """Background-compile the non-classed batch program for ``key``.
+
+        The non-classed program is the sigma-class violation insurance:
+        without it, the FIRST frame whose content violates the classed
+        windows stalls its whole pass on a synchronous batch-program
+        compile (~140 s through the remote-compile service, observed as
+        the recurring "pass 2 cliff" — the persistent XLA cache is
+        largely ineffective through that service).  Compiling it in a
+        daemon thread right after a key settles hides the cost behind
+        steady-state frames.  TPU backend only: CPU test runs create
+        many throwaway extractors and must not spawn background
+        compiles."""
+        if not self._classes_enabled:
+            return
+        try:
+            if jax.default_backend() != "tpu":
+                return
+        except Exception:
+            return
+        with self._stats_lock:
+            if (key in self._prewarmed
+                    or (key, False) in self._fused_packed_batch):
+                return
+            self._prewarmed.add(key)
+
+        def work():
+            try:
+                w, h = self._wh
+                img = jnp.zeros((h, w), jnp.float32)
+                fn = self._get_fused_packed_batch(key, classed=False)
+                jax.block_until_ready(fn(*([img] * self.BATCH))["flat"])
+            except Exception:
+                pass  # insurance only; the synchronous path still works
+
+        import threading
+        threading.Thread(target=work, daemon=True).start()
+
     def has_key(self) -> bool:
         """True once a steady-state bucket key exists (the fused batch
         program can be dispatched).  Deliberately racy-but-safe: the
@@ -1235,10 +1292,24 @@ class StagedExtractor:
             # install the regrown key as the stream's steady state
             # (locked: the downloader pool can regrow concurrently, and
             # a torn buckets/key5 pair from two keys would force
-            # another regrow round)
+            # another regrow round), and record the grown sizes as
+            # shrink FLOORS — the regrow is proof the stream needs them
             with self._stats_lock:
                 self._last_buckets = (cks, ks, bs)
                 self._last_key5 = key
+                f = self._bucket_floors
+                for kind, vals in (("c", cks), ("k", ks), ("b", bs)):
+                    for o, v in enumerate(vals):
+                        f[(kind, o)] = max(f.get((kind, o), 0), v)
+                f[("ft",)] = max(f.get(("ft",), 0), ft)
+                f[("bt",)] = max(f.get(("bt",), 0), bt)
+                # persist NOW: _update_buckets only saves on a key
+                # CHANGE, and after this direct install it computes the
+                # same key ("no change"), so without this call the
+                # regrown key never reached the saved-key store and
+                # every new process re-paid this frame's regrow compile
+                # (the recurring "pass 2 cliff" of rounds 4-5)
+                self._save_key()
             self._update_buckets(t2["cand_counts"], t2["counts"],
                                  t2["ori_counts"])
         return self._features_from_packed(t2, out["dev_desc"][0],
@@ -1275,7 +1346,7 @@ class StagedExtractor:
                     plan = self.plan
                     s1 = self._stage1a(image)
                     cand = np.asarray(s1["cand_counts"])
-                    cks = tuple(min(bucket(int(c * 1.3) + 1),
+                    cks = tuple(min(bucket(int(c * 1.5) + 1),
                                     plan.cand_caps[o])
                                 for o, c in enumerate(cand))
                     ks = tuple(min(cks[o], plan.ext_caps[o])
@@ -1429,13 +1500,14 @@ class StagedExtractor:
 
     # consecutive comfortably-low frames before a bucket shrinks (see
     # step below); one shrink = one batch-program recompile, so the
-    # streak keeps oscillating scenes from churning compiles.  16
-    # frames + the 1.6x shrink margin below: a shrink must be backed by
-    # sustained evidence AND still leave room for a moderately richer
-    # regime, because a wrong shrink costs a full batch-program
-    # recompile when that regime returns (observed as a recurring
-    # ~85 s mid-stream compile when the margin was 1.3x/8 frames)
-    _SHRINK_STREAK = 16
+    # streak keeps oscillating scenes from churning compiles.  96
+    # frames + the 1.6x shrink margin + the regrow floors: a shrink
+    # must be backed by LONG sustained evidence and still leave room
+    # for a moderately richer regime, because a wrong shrink costs a
+    # full batch-program recompile when that regime returns (16-frame
+    # streaks re-shrank between a bench's content regimes and regrew a
+    # few dozen frames later, every run)
+    _SHRINK_STREAK = 96
 
     def _update_buckets_locked(self, cand_counts, counts,
                                ori_counts) -> None:
@@ -1445,13 +1517,28 @@ class StagedExtractor:
 
         def step(cur: int, count: int, cap: int, skey) -> int:
             count = int(count)
-            grown = int(count * 1.3) + 1
+            # 1.5x growth headroom (was 1.3): with quarter-pow-2 bucket
+            # quantisation the EFFECTIVE margin of 1.3 could collapse to
+            # ~1.30 exactly (count 590 -> bucket 768), and a later frame
+            # at 1.36x the settling count regrew + recompiled (~85 s);
+            # padded slots are cheap, recompiles are not
+            grown = int(count * 1.5) + 1
+            if cur < min(128, cap):
+                # raise legacy 0-sized buckets (saved keys from before
+                # the 128-slot floor) to the floor once
+                streaks.pop(skey, None)
+                return min(max(bucket(grown), 128), cap)
             if count > cur:
                 streaks.pop(skey, None)
                 return min(bucket(grown), cap)
             if cur > 128 and count * 8 < cur:
                 streaks.pop(skey, None)
-                return min(bucket(grown), cap) if count else 0
+                # keep a 128-slot floor even for currently-empty
+                # octaves: a 0-sized bucket regrows (= recompiles the
+                # whole batch program) the moment ONE stray candidate
+                # appears there, and 128 padded slots cost ~nothing
+                # (invalid slots skip their kernel DMAs)
+                return min(bucket(grown) if count else 128, cap)
             # sustained-low shrink: the old rule (shrink only below
             # cur/8) let a one-off regrow spike pin a bucket at 3-4x
             # the stream's real count FOREVER — and the saved-key store
@@ -1464,13 +1551,14 @@ class StagedExtractor:
             # high-water mark (shrinking to one low frame's count made
             # the very next above-average frame regrow + recompile).
             tight = bucket(grown)
-            if cur > 128 and tight * 2 <= cur:
+            floor = self._bucket_floors.get(skey, 0)
+            if cur > max(128, floor) and tight * 2 <= cur:
                 smax, s = streaks.get(skey, (0, 0))
                 smax, s = max(smax, count), s + 1
                 if s >= self._SHRINK_STREAK:
                     streaks.pop(skey, None)
-                    return min(max(bucket(int(smax * 1.6) + 1), 128),
-                               cap)
+                    return min(max(bucket(int(smax * 1.6) + 1), 128,
+                                   floor), cap)
                 streaks[skey] = (smax, s)
             else:
                 streaks.pop(skey, None)
@@ -1506,6 +1594,7 @@ class StagedExtractor:
         self._last_key5 = (cks, ks, bs, ft, bt)
         if self._last_key5 != prev:
             self._save_key()
+        self._prewarm_nonclassed(self._last_key5)
 
     def _package_host(self, host, counts, ori_counts,
                       ks, bs) -> dict[str, Any]:

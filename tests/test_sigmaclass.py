@@ -109,6 +109,7 @@ def test_staged_classed_packed_equals_exact(textured_image):
     norm = textured_image.astype(np.float32) / 255.0
     cfg = Config()
     ex = StagedExtractor(cfg, norm.shape[1], norm.shape[0])
+    ex._classes_enabled = True  # classes are opt-in since round 5
     ex.CLASS_MIN_CAP = 1
     f_exact = ex.extract_features(norm)      # first image: exact path
     f_packed = ex.extract_features(norm)     # steady state: classed packed
@@ -128,6 +129,7 @@ def test_staged_violation_falls_back_to_exact(textured_image, monkeypatch):
     norm = textured_image.astype(np.float32) / 255.0
     cfg = Config()
     ex = StagedExtractor(cfg, norm.shape[1], norm.shape[0])
+    ex._classes_enabled = True  # classes are opt-in since round 5
     ex.CLASS_MIN_CAP = 1
 
     from popsift_tpu import extract as extract_mod
@@ -166,6 +168,7 @@ def test_class_probation_state_machine():
     a failed probation, and full recovery on a clean probation."""
     cfg = Config()
     ex = StagedExtractor(cfg, 128, 96)
+    ex._classes_enabled = True  # classes are opt-in since round 5
     O = ex.plan.octaves
     key = ((128,) * O, (128,) * O, (128,) * O, 256, 256)
 
